@@ -1,0 +1,60 @@
+"""Static hyperparameter configuration.
+
+Mirrors the 12 constructor hyperparameters of the reference model
+(`lightfm/lightfm.py:189-241`) plus TPU-specific execution knobs.  The
+dataclass is frozen/hashable so it can be a static argument to jitted
+functions (one compile per distinct config).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+LOSSES = ("logistic", "warp", "bpr", "warp-kos")
+SCHEDULES = ("adagrad", "adadelta")
+
+# Gradient clip applied to ranking losses, mirroring MAX_LOSS
+# (`_lightfm_fast.pyx.template:817,884`).
+MAX_LOSS = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Hyperparams:
+    """Model hyperparameters (static under jit)."""
+
+    no_components: int = 10
+    k: int = 5
+    n: int = 10
+    learning_schedule: str = "adagrad"
+    loss: str = "logistic"
+    learning_rate: float = 0.05
+    rho: float = 0.95
+    epsilon: float = 1e-6
+    item_alpha: float = 0.0
+    user_alpha: float = 0.0
+    max_sampled: int = 10
+
+    # --- TPU execution knobs (no reference equivalent) ---
+    # Minibatch size for the synchronous batched SGD reformulation of the
+    # reference's per-sample Hogwild loop.  Auto-chosen if None.
+    batch_size: int | None = None
+    # Number of candidate draws for BPR's rejection sampling of negatives.
+    bpr_tries: int = 8
+
+    def __post_init__(self):
+        # Mirror the reference's constructor asserts (`lightfm/lightfm.py:205-216`).
+        assert self.item_alpha >= 0.0
+        assert self.user_alpha >= 0.0
+        assert self.no_components > 0
+        assert self.k > 0
+        assert self.n > 0
+        assert 0 < self.rho < 1
+        assert self.epsilon >= 0
+        assert self.learning_schedule in SCHEDULES
+        assert self.loss in LOSSES
+        if self.max_sampled < 1:
+            raise ValueError("max_sampled must be a positive integer")
+
+    @property
+    def adadelta(self) -> bool:
+        return self.learning_schedule == "adadelta"

@@ -1,0 +1,290 @@
+"""Catalog ranking: the TPU-native ``predict_ranks`` kernel.
+
+The reference computes ranks with an O(n_users x n_items x nnz_feat) scalar
+scan per user (`_lightfm_fast.pyx.template:1232-1323`): for every test
+interaction, count catalog items (excluding train positives) whose score is
+``>=`` the test item's score (pessimistic ties, template:1318).
+
+Here the same quantity is computed as blocked dense linear algebra:
+
+1. item representations for the whole catalog (blocked sparse gathers);
+2. per user-block, a [UB, D] x [D, I] MXU matmul gives catalog scores;
+3. train positives are scattered to -inf (so they can never count);
+4. score rows are SORTED and ranks recovered by binary search:
+   ``count(s_j >= s_t) = I - searchsorted(sorted_row, s_t)`` — O(log I)
+   per test item instead of O(I).
+
+Tie semantics must be exact: the test item's own score is read out of the
+very same score row used for counting, so ties (including the all-zero
+embedding edge case) count pessimistically with `>=` and the self-match is
+removed by an exact ``- 1``, matching the reference's
+``item_id != item_ids[i] and prediction >= predictions[i]``.
+
+For catalogs too large to hold a [user_block, n_items] score row, a blocked
+variant scans item blocks; the test scores are then extracted from the same
+per-block matmuls in a first pass, keeping both paths bitwise consistent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightfm_tpu.ops.representation import batch_representation, full_representations
+from lightfm_tpu.sparse import PaddedRows
+from lightfm_tpu.state import ModelState
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+# Above this catalog width the flat [user_block, n_items] score row is
+# replaced by the blocked two-pass variant.
+FLAT_CATALOG_LIMIT = 131072
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _catalog_representations(state, item_feats: PaddedRows, n_items: int):
+    """Representations for catalog rows [0, n_items) (the test matrix's
+    column count, template:1301)."""
+    return full_representations(
+        state.item_embeddings,
+        state.item_biases,
+        PaddedRows(item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols),
+        state.item_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_items", "user_block"))
+def _ranks_flat(
+    state: ModelState,
+    user_feats: PaddedRows,
+    item_feats: PaddedRows,
+    user_ids: jax.Array,  # int32 [Upad]
+    test_idx: jax.Array,  # int32 [Upad, T]
+    test_valid: jax.Array,  # bool [Upad, T]
+    train_idx: jax.Array,  # int32 [Upad, Ptr] (sentinel >= n_items for padding)
+    n_items: int,
+    user_block: int,
+):
+    item_rep, item_b = _catalog_representations(state, item_feats, n_items)
+    i_pad = _round_up(n_items, 128)
+    item_rep = jnp.pad(item_rep, ((0, i_pad - n_items), (0, 0)))
+    # Padding items score -inf so they never outrank anything.
+    item_b = jnp.pad(item_b, (0, i_pad - n_items), constant_values=-np.inf)
+
+    u_pad = user_ids.shape[0]
+    n_ublocks = u_pad // user_block
+
+    def ublock_body(_, xs):
+        u_ids, t_idx, t_valid, tr_idx = xs
+        u_rep, u_b = batch_representation(
+            state.user_embeddings, state.user_biases, user_feats, u_ids, state.user_scale
+        )  # [UB, D]
+        scores = (
+            jnp.dot(u_rep, item_rep.T, preferred_element_type=jnp.float32)
+            + u_b[:, None]
+            + item_b[None, :]
+        )  # [UB, Ipad]
+        rows = jnp.broadcast_to(
+            jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape
+        )
+        # Exclude train positives (template:1303); sentinel indices drop.
+        scores = scores.at[rows, train_idx_clip(tr_idx, i_pad)].set(
+            _NEG_INF, mode="drop"
+        )
+        rows_t = jnp.broadcast_to(
+            jnp.arange(user_block, dtype=jnp.int32)[:, None], t_idx.shape
+        )
+        # Test scores come from the SAME score row -> exact tie handling.
+        ts = scores[rows_t, t_idx]
+        sorted_scores = jnp.sort(scores, axis=-1)
+        pos = jax.vmap(lambda srow, trow: jnp.searchsorted(srow, trow, side="left"))(
+            sorted_scores, ts
+        )
+        counts = (i_pad - pos).astype(jnp.float32)
+        # The self-match always counts exactly once; remove it (template:1318).
+        ranks = jnp.where(t_valid, counts - 1.0, 0.0)
+        return None, ranks
+
+    _, ranks = jax.lax.scan(
+        ublock_body,
+        None,
+        (
+            user_ids.reshape(n_ublocks, user_block),
+            test_idx.reshape(n_ublocks, user_block, -1),
+            test_valid.reshape(n_ublocks, user_block, -1),
+            train_idx.reshape(n_ublocks, user_block, -1),
+        ),
+    )
+    return ranks.reshape(u_pad, -1)
+
+
+def train_idx_clip(tr_idx: jax.Array, i_pad: int) -> jax.Array:
+    """Map out-of-catalog (sentinel) train indices to a dropped slot."""
+    return jnp.where(tr_idx < i_pad, tr_idx, i_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("n_items", "user_block", "item_block"))
+def _ranks_blocked(
+    state: ModelState,
+    user_feats: PaddedRows,
+    item_feats: PaddedRows,
+    user_ids: jax.Array,
+    test_idx: jax.Array,
+    test_valid: jax.Array,
+    train_idx: jax.Array,
+    n_items: int,
+    user_block: int,
+    item_block: int,
+):
+    """Two-pass blocked variant for very large catalogs.
+
+    Pass 1 extracts each test item's score from the block matmul containing
+    it; pass 2 re-runs the same (deterministic) block matmuls to count.  XLA
+    executes identical ops identically, so both passes see the same floats
+    and tie handling stays exact.
+    """
+    item_rep, item_b = _catalog_representations(state, item_feats, n_items)
+    i_pad = _round_up(n_items, item_block)
+    item_rep = jnp.pad(item_rep, ((0, i_pad - n_items), (0, 0)))
+    item_b = jnp.pad(item_b, (0, i_pad - n_items), constant_values=-np.inf)
+    n_iblocks = i_pad // item_block
+    blk_reps = item_rep.reshape(n_iblocks, item_block, -1)
+    blk_bias = item_b.reshape(n_iblocks, item_block)
+    blk_start = jnp.arange(n_iblocks, dtype=jnp.int32) * item_block
+
+    u_pad = user_ids.shape[0]
+    n_ublocks = u_pad // user_block
+
+    def ublock_body(_, xs):
+        u_ids, t_idx, t_valid, tr_idx = xs
+        u_rep, u_b = batch_representation(
+            state.user_embeddings, state.user_biases, user_feats, u_ids, state.user_scale
+        )
+        rows = jnp.broadcast_to(
+            jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape
+        )
+        rows_t = jnp.broadcast_to(
+            jnp.arange(user_block, dtype=jnp.int32)[:, None], t_idx.shape
+        )
+
+        def block_scores(rep, bias, start):
+            scores = (
+                jnp.dot(u_rep, rep.T, preferred_element_type=jnp.float32)
+                + u_b[:, None]
+                + bias[None, :]
+            )
+            local = jnp.where(
+                (tr_idx >= start) & (tr_idx < start + item_block),
+                tr_idx - start,
+                item_block,
+            )
+            return scores.at[rows, local].set(_NEG_INF, mode="drop")
+
+        # Pass 1: extract test scores from their containing blocks.
+        def ts_body(ts, blk):
+            rep, bias, start = blk
+            scores = block_scores(rep, bias, start)
+            in_blk = (t_idx >= start) & (t_idx < start + item_block)
+            local_t = jnp.where(in_blk, t_idx - start, 0)
+            ts = jnp.where(in_blk, scores[rows_t, local_t], ts)
+            return ts, None
+
+        ts0 = jnp.full(t_idx.shape, jnp.inf, dtype=jnp.float32)
+        ts, _ = jax.lax.scan(ts_body, ts0, (blk_reps, blk_bias, blk_start))
+        ts = jnp.where(t_valid, ts, jnp.inf)
+
+        # Pass 2: count catalog scores >= test scores.
+        def count_body(counts, blk):
+            rep, bias, start = blk
+            scores = block_scores(rep, bias, start)
+            sorted_scores = jnp.sort(scores, axis=-1)
+            pos = jax.vmap(
+                lambda srow, trow: jnp.searchsorted(srow, trow, side="left")
+            )(sorted_scores, ts)
+            return counts + (item_block - pos).astype(jnp.float32), None
+
+        counts0 = jnp.zeros(ts.shape, dtype=jnp.float32)
+        counts, _ = jax.lax.scan(count_body, counts0, (blk_reps, blk_bias, blk_start))
+        ranks = jnp.where(t_valid, counts - 1.0, 0.0)
+        return None, ranks
+
+    _, ranks = jax.lax.scan(
+        ublock_body,
+        None,
+        (
+            user_ids.reshape(n_ublocks, user_block),
+            test_idx.reshape(n_ublocks, user_block, -1),
+            test_valid.reshape(n_ublocks, user_block, -1),
+            train_idx.reshape(n_ublocks, user_block, -1),
+        ),
+    )
+    return ranks.reshape(u_pad, -1)
+
+
+def predict_ranks_padded(
+    state: ModelState,
+    user_feats: PaddedRows,
+    item_feats: PaddedRows,
+    test_csr,
+    train_csr,
+    user_block: int = 256,
+    item_block: int = 8192,
+) -> np.ndarray:
+    """Compute ranks for every nnz of ``test_csr``; returns data aligned with
+    the CSR's data array (the layout the reference writes into,
+    `lightfm/lightfm.py:968-985`)."""
+    n_users, n_items = test_csr.shape
+    if test_csr.nnz == 0:
+        return np.zeros(0, dtype=np.float32)
+
+    user_block = min(user_block, max(8, _round_up(n_users, 8)))
+
+    lengths = np.diff(test_csr.indptr)
+    T = max(1, int(lengths.max()))
+    u_pad = _round_up(n_users, user_block)
+
+    test_idx = np.zeros((u_pad, T), dtype=np.int32)
+    test_valid = np.zeros((u_pad, T), dtype=bool)
+    row_of = np.repeat(np.arange(n_users), lengths)
+    pos_in_row = np.arange(test_csr.nnz) - np.repeat(test_csr.indptr[:-1], lengths)
+    test_idx[row_of, pos_in_row] = test_csr.indices.astype(np.int32)
+    test_valid[row_of, pos_in_row] = True
+
+    tr_lengths = np.diff(train_csr.indptr)
+    Ptr = max(1, int(tr_lengths.max()) if len(tr_lengths) else 1)
+    train_idx = np.full((u_pad, Ptr), n_items, dtype=np.int32)
+    if train_csr.nnz:
+        trow_of = np.repeat(np.arange(n_users), tr_lengths)
+        tpos = np.arange(train_csr.nnz) - np.repeat(train_csr.indptr[:-1], tr_lengths)
+        train_idx[trow_of, tpos] = train_csr.indices.astype(np.int32)
+
+    user_ids = np.zeros(u_pad, dtype=np.int32)
+    user_ids[:n_users] = np.arange(n_users)
+
+    args = (
+        state,
+        user_feats,
+        item_feats,
+        jnp.asarray(user_ids),
+        jnp.asarray(test_idx),
+        jnp.asarray(test_valid),
+        jnp.asarray(train_idx),
+    )
+    if n_items <= FLAT_CATALOG_LIMIT:
+        ranks = _ranks_flat(*args, n_items=int(n_items), user_block=int(user_block))
+    else:
+        ranks = _ranks_blocked(
+            *args,
+            n_items=int(n_items),
+            user_block=int(user_block),
+            item_block=int(item_block),
+        )
+    ranks = np.asarray(ranks)
+    return ranks[row_of, pos_in_row].astype(np.float32)

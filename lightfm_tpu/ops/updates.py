@@ -1,0 +1,88 @@
+"""Sparse batched optimizer updates (adagrad / adadelta) with lazy L2.
+
+TPU-native reformulation of ``update_biases`` / ``update_features``
+(`_lightfm_fast.pyx.template:337-451`).  The reference applies per-feature
+sequential SGD steps inside a Hogwild loop; here a whole minibatch of touches
+is applied functionally with gathers and scatter ops:
+
+- every "touch" is a tuple (table row ``idx``, feature weight ``w``, gradient
+  ``g``); duplicates within a batch accumulate via scatter-add;
+- masked touches (padding slots, skipped samples) are exact no-ops: their
+  scatter-add contribution is 0 and their scatter-mul factor is 1, so no
+  dummy rows or index rewriting is needed;
+- adagrad: ``lr_local = lr/sqrt(acc)`` uses the PRE-batch accumulator for all
+  touches (the batched analogue of the reference's sequential read), then
+  ``acc += (w*g)^2`` summed over duplicate touches;
+- adadelta: ``acc = rho*acc + (1-rho)*sum((w*g)^2)`` treating the batch as one
+  step per touched row, ``lr_local`` reads the post-update accumulator exactly
+  as the reference does (template:416-434);
+- lazy L2 regularisation multiplies touched params by ``(1 + alpha*lr_local)``
+  (template:372,387,432,447) via scatter-mul; the global scale bookkeeping
+  lives in :mod:`lightfm_tpu.state`.
+
+Returns the summed local learning rate and touch count so callers can update
+the lazy-regularisation scale accumulators with the batch-average learning
+rate (the batched analogue of template:528-534).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sparse_update(
+    table: jax.Array,  # [R, D] or [R]
+    acc: jax.Array,
+    mom: jax.Array,
+    idx: jax.Array,  # int32 [M]
+    w: jax.Array,  # f32 [M] feature weights
+    g: jax.Array,  # f32 [M, D] or [M] per-touch gradients
+    mask: jax.Array,  # bool [M]; False touches are no-ops
+    *,
+    adadelta: bool,
+    learning_rate: float,
+    alpha: float,
+    rho: float,
+    eps: float,
+):
+    """Apply one batched sparse optimizer step to ``table``.
+
+    Returns ``(table, acc, mom, sum_local_lr, n_touches)`` where the last two
+    aggregate over unmasked (touch, component) pairs for scale bookkeeping.
+    """
+    squeeze = table.ndim == 1
+    if squeeze:
+        table, acc, mom, g = table[:, None], acc[:, None], mom[:, None], g[:, None]
+
+    mask_f = mask.astype(table.dtype)[:, None]  # [M, 1]
+    wg = (w * mask)[:, None] * g  # [M, D]; masked touches contribute 0
+
+    if not adadelta:
+        # adagrad (template:376-389, 436-449); accumulators initialised to 1
+        # at model init (`lightfm/lightfm.py:308-312`).
+        lr_local = learning_rate * jax.lax.rsqrt(acc[idx])  # [M, D]
+        table = table.at[idx].add(-(lr_local * wg))
+        acc = acc.at[idx].add(wg * wg)
+    else:
+        # adadelta (template:359-374, 417-434).
+        rho_f = jnp.where(mask, rho, 1.0)[:, None]
+        decay = jnp.broadcast_to(rho_f, wg.shape)
+        acc = acc.at[idx].mul(decay)
+        acc = acc.at[idx].add((1.0 - rho) * wg * wg)
+        lr_local = jnp.sqrt(mom[idx] + eps) * jax.lax.rsqrt(acc[idx] + eps)
+        update = lr_local * wg
+        mom = mom.at[idx].mul(decay)
+        mom = mom.at[idx].add((1.0 - rho) * update * update)
+        table = table.at[idx].add(-update)
+
+    if alpha != 0.0:
+        # Lazy regularisation boost; masked touches get factor exactly 1.
+        table = table.at[idx].mul(1.0 + alpha * lr_local * mask_f)
+
+    sum_lr = jnp.sum(lr_local * mask_f)
+    n_touches = jnp.sum(mask_f) * table.shape[1]
+
+    if squeeze:
+        table, acc, mom = table[:, 0], acc[:, 0], mom[:, 0]
+    return table, acc, mom, sum_lr, n_touches
