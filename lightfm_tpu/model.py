@@ -80,6 +80,8 @@ class LightFM:
         max_sampled=10,
         random_state=None,
         batch_size=None,
+        mesh=None,
+        table_partition="replicated",
     ):
         # Validation mirrors `lightfm/lightfm.py:205-216` (assertions +
         # max_sampled ValueError); delegated to Hyperparams.__post_init__.
@@ -110,6 +112,10 @@ class LightFM:
         self.item_alpha = item_alpha
         self.user_alpha = user_alpha
         self.batch_size = batch_size
+        # TPU execution config: device mesh + table partitioning
+        # ("replicated" | "rows" | "components"); see lightfm_tpu.parallel.
+        self.mesh = mesh
+        self.table_partition = table_partition
 
         if random_state is None:
             self.random_state = np.random.RandomState()
@@ -383,13 +389,21 @@ class LightFM:
             batch_size,
         )
 
+        if self.mesh is not None:
+            from lightfm_tpu.parallel import shard_state, shard_train_data
+
+            self._state = shard_state(self._state, self.mesh, self.table_partition)
+            data = shard_train_data(data, self.mesh)
+
         for _ in self._progress(epochs, verbose=verbose):
             # All device randomness is rooted in the numpy RandomState so
             # that seeded runs reproduce and the RNG advances across epochs
             # (the reference's `test_random_state_fixing` contract).
             seed = int(self.random_state.randint(0, np.iinfo(np.int32).max))
             key = jax.random.key(seed)
-            self._state = run_epoch(self._state, data, key, hp, batch_size)
+            self._state = run_epoch(
+                self._state, data, key, hp, batch_size, mesh=self.mesh
+            )
             self._check_finite()
 
         return self
@@ -552,6 +566,15 @@ class LightFM:
             "random_state": self.random_state,
         }
 
+    def __sklearn_tags__(self):
+        # sklearn >= 1.6 estimator-tags protocol; enables clone()/CV search.
+        from sklearn.base import BaseEstimator
+
+        tags = BaseEstimator.__sklearn_tags__(self)
+        tags.input_tags.sparse = True
+        tags.requires_fit = True
+        return tags
+
     def set_params(self, **params):
         valid_params = self.get_params()
         for key, value in params.items():
@@ -572,6 +595,7 @@ class LightFM:
     def __getstate__(self):
         d = dict(self.__dict__)
         state = d.pop("_state")
+        d.pop("mesh", None)  # device handles are not picklable
         if state is None:
             d["_state_np"] = None
         else:
@@ -581,6 +605,7 @@ class LightFM:
     def __setstate__(self, d):
         state_np = d.pop("_state_np", None)
         self.__dict__.update(d)
+        self.__dict__.setdefault("mesh", None)
         if state_np is None:
             self._state = None
         else:

@@ -1,0 +1,89 @@
+"""Device mesh + sharding layout for multi-chip training and serving.
+
+The reference's only parallelism is shared-memory Hogwild threading
+(`setup.py:82-93`, OpenMP ``prange``); there is no distributed backend at
+all (SURVEY §2.3).  The TPU-native replacement:
+
+- **data axis**: minibatches are split across devices; gradient scatter-adds
+  into replicated tables become XLA ``psum``s automatically under GSPMD.
+- **model axis**: embedding tables are ROW-SHARDED across devices
+  (feature-id space partitioned).  Gathers/scatters against sharded tables
+  lower to XLA collectives (all-to-all / collective-permute) over ICI.
+
+Layouts are expressed with ``NamedSharding`` + ``jax.jit`` (GSPMD); XLA
+inserts the collectives.  No hand-written transport.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightfm_tpu.state import ModelState
+from lightfm_tpu.train import TrainData
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[list] = None,
+) -> Mesh:
+    """Create a (data, model) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"Mesh shape ({n_data}, {n_model}) does not match {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def _table_spec(mesh: Mesh, table_partition: str, ndim: int) -> P:
+    if table_partition == "rows":
+        return P(MODEL_AXIS) if ndim == 1 else P(MODEL_AXIS, None)
+    if table_partition == "components":
+        return P() if ndim == 1 else P(None, MODEL_AXIS)
+    return P()  # replicated
+
+
+def shard_state(state: ModelState, mesh: Mesh, table_partition: str = "rows") -> ModelState:
+    """Place model state on the mesh.
+
+    ``table_partition``:
+      - ``"rows"``: feature-id space split over the model axis (the
+        BASELINE.json north-star layout); gathers exchange rows over ICI.
+      - ``"components"``: embedding dimension split; gathers are local,
+        scores reduce over the model axis.
+      - ``"replicated"``: tables copied to every device (data-parallel only).
+    """
+    def place(x):
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(x, NamedSharding(mesh, _table_spec(mesh, table_partition, x.ndim)))
+
+    # Scales are scalars; embeddings/biases/accumulators share their table's
+    # layout so optimizer updates stay local to the owning shard.
+    return jax.tree.map(place, state)
+
+
+def shard_train_data(data: TrainData, mesh: Mesh) -> TrainData:
+    """Replicate training arrays across the mesh.
+
+    The per-epoch global permutation (`lightfm/lightfm.py:689-690`) gathers
+    arbitrary example indices, so example arrays are replicated; the batch
+    itself is sharded over the data axis inside the train step (see
+    ``run_epoch``'s sharding constraint).  Multi-host streaming input is a
+    later-round concern.
+    """
+    replicated = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, replicated), data)

@@ -44,7 +44,10 @@ def choose_batch_size(n_examples: int, requested: Optional[int]) -> int:
     keep the number of optimizer steps per epoch meaningful on small data."""
     if requested is not None:
         return int(requested)
-    target = max(256, min(8192, n_examples // 32))
+    # Calibrated against the sequential oracle (tests/_reference_oracle.py):
+    # ~n/128 keeps enough optimizer steps per epoch to match the reference's
+    # accuracy floors while feeding the TPU large batches on big datasets.
+    target = max(256, min(8192, n_examples // 128))
     # Round to a power of two for stable jit cache keys.
     return 1 << (int(target) - 1).bit_length()
 
@@ -96,17 +99,21 @@ def build_train_data(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size"))
+@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
 def run_epoch(
     state: ModelState,
     data: TrainData,
     key: jax.Array,
     hp: Hyperparams,
     batch_size: int,
+    mesh=None,
 ) -> ModelState:
     """One epoch: device-side shuffle + scan over minibatches.
 
     The global per-epoch permutation mirrors `lightfm/lightfm.py:689-690`.
+    With a mesh, each minibatch is sharded over the 'data' axis so the
+    representation/score/update math is data-parallel; gradient scatters into
+    replicated or row-sharded tables become XLA collectives under GSPMD.
     """
     n_pad = data.user_ids.shape[0]
     n_batches = n_pad // batch_size
@@ -117,8 +124,15 @@ def run_epoch(
     step = LOSS_STEPS[hp.loss]
     lazy_reg = hp.item_alpha != 0.0 or hp.user_alpha != 0.0
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+
     def body(state, xs):
         rows, bkey = xs
+        if mesh is not None:
+            rows = jax.lax.with_sharding_constraint(rows, batch_sharding)
         batch = Batch(
             user_ids=data.user_ids[rows],
             item_ids=data.item_ids[rows],

@@ -1,0 +1,245 @@
+"""API/unit tests with synthetic sparse fixtures.
+
+Covers the same contract surface as the reference's ``tests/test_api.py``:
+input coercion across scipy formats, duplicate entries, error paths,
+predict_rank rank properties (permutation, train-exclusion cap, pessimistic
+ties), sample-weight validation, divergence detection, WARP edge cases.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lightfm_tpu import LightFM
+
+
+def _random_interactions(n_users=30, n_items=25, nnz=120, seed=0):
+    rng = np.random.RandomState(seed)
+    rows = rng.randint(0, n_users, nnz)
+    cols = rng.randint(0, n_items, nnz)
+    data = np.ones(nnz, dtype=np.float32)
+    mat = sp.coo_matrix((data, (rows, cols)), shape=(n_users, n_items))
+    mat.sum_duplicates()
+    mat.data[:] = 1.0
+    return mat
+
+
+def test_all_sparse_formats_accepted():
+    base = _random_interactions()
+    for fmt in ("coo", "csr", "csc", "lil", "dok"):
+        mat = base.asformat(fmt)
+        model = LightFM(random_state=1)
+        model.fit(mat, epochs=1)
+        assert model.item_embeddings is not None
+
+
+def test_all_dtypes_accepted():
+    base = _random_interactions()
+    for dtype in (np.int32, np.int64, np.float32, np.float64):
+        model = LightFM(random_state=1)
+        model.fit(base.astype(dtype), epochs=1)
+
+
+def test_duplicate_coo_entries():
+    # Duplicate (row, col) pairs in COO input must not corrupt training
+    # (regression in the reference, test_api.py:57-74).
+    rng = np.random.RandomState(3)
+    rows = np.concatenate([rng.randint(0, 20, 50)] * 2)
+    cols = np.concatenate([rng.randint(0, 15, 50)] * 2)
+    mat = sp.coo_matrix((np.ones(100, np.float32), (rows, cols)), shape=(20, 15))
+    for loss in ("logistic", "warp", "bpr"):
+        LightFM(loss=loss, random_state=1).fit(mat, epochs=2)
+
+
+def test_predict_int_and_array_equivalent():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=2)
+    items = np.arange(5, dtype=np.int32)
+    a = model.predict(2, items)
+    b = model.predict(np.repeat(np.int32(2), 5), items)
+    assert np.allclose(a, b)
+
+
+def test_predict_length_mismatch_raises():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    with pytest.raises(ValueError):
+        model.predict([0, 1], np.arange(3, dtype=np.int32))
+
+
+def test_not_fitted_raises():
+    model = LightFM()
+    with pytest.raises(ValueError):
+        model.predict(np.array([0]), np.array([0]))
+    with pytest.raises(ValueError):
+        model.predict_rank(_random_interactions().tocsr())
+
+
+def test_negative_ids_raise():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    with pytest.raises(ValueError):
+        model.predict(np.array([-1], dtype=np.int32), np.array([0], dtype=np.int32))
+
+
+def test_feature_dimension_mismatch_raises():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    bad_features = sp.identity(mat.shape[1] + 5, format="csr", dtype=np.float32)
+    with pytest.raises(ValueError):
+        model.fit_partial(mat, item_features=bad_features)
+
+
+def test_feature_rows_fewer_than_entities_raises():
+    mat = _random_interactions()
+    model = LightFM(random_state=1)
+    short = sp.identity(mat.shape[1] - 3, format="csr", dtype=np.float32)
+    with pytest.raises(Exception):
+        model.fit(mat, item_features=short)
+
+
+def test_sample_weight_validation():
+    mat = _random_interactions()
+    model = LightFM(random_state=1)
+
+    # Must be COO
+    with pytest.raises(ValueError):
+        model.fit(mat, sample_weight=mat.tocsr(), epochs=1)
+
+    # Shape mismatch
+    wrong_shape = sp.coo_matrix(np.ones((3, 3), dtype=np.float32))
+    with pytest.raises(ValueError):
+        model.fit(mat, sample_weight=wrong_shape, epochs=1)
+
+    # Order mismatch
+    shuffled = sp.coo_matrix(
+        (mat.data, (mat.row[::-1], mat.col[::-1])), shape=mat.shape
+    )
+    with pytest.raises(ValueError):
+        model.fit(mat, sample_weight=shuffled, epochs=1)
+
+    # k-OS does not support sample weights
+    weights = sp.coo_matrix((mat.data, (mat.row, mat.col)), shape=mat.shape)
+    kos = LightFM(loss="warp-kos", random_state=1)
+    with pytest.raises(NotImplementedError):
+        kos.fit(mat, sample_weight=weights, epochs=1)
+
+
+def test_nan_input_raises():
+    mat = _random_interactions().astype(np.float32)
+    mat.data[0] = np.nan
+    with pytest.raises(ValueError):
+        LightFM(random_state=1).fit(mat, epochs=1)
+
+
+def test_divergence_raises():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    model.item_embeddings = np.full_like(model.item_embeddings, np.inf)
+    with pytest.raises(ValueError):
+        model.fit_partial(mat, epochs=1)
+
+
+def test_predict_rank_is_permutation():
+    n_users, n_items = 20, 30
+    mat = _random_interactions(n_users, n_items, 150, seed=2)
+    model = LightFM(loss="warp", random_state=1).fit(mat, epochs=3)
+
+    full = sp.csr_matrix(
+        (
+            np.ones(n_items, np.float32),
+            (np.zeros(n_items, int), np.arange(n_items)),
+        ),
+        shape=(n_users, n_items),
+    )
+    ranks = model.predict_rank(full).tocsr()
+    assert np.array_equal(np.sort(ranks.data), np.arange(n_items, dtype=np.float32))
+
+
+def test_predict_rank_train_exclusion_caps_max_rank():
+    n_users, n_items = 25, 40
+    mat = _random_interactions(n_users, n_items, 300, seed=4).tocsr()
+    from lightfm_tpu.cross_validation import random_train_test_split
+
+    train, test = random_train_test_split(mat.tocoo(), random_state=0)
+    model = LightFM(loss="warp", random_state=1).fit(train, epochs=2)
+    ranks = model.predict_rank(test.tocsr(), train_interactions=train.tocsr()).tocsr()
+    tr_counts = np.diff(train.tocsr().indptr)
+    for u in range(n_users):
+        s, e = ranks.indptr[u], ranks.indptr[u + 1]
+        if e > s:
+            assert ranks.data[s:e].max() <= n_items - 1 - tr_counts[u]
+
+
+def test_predict_rank_ties_pessimistic_with_zero_embeddings():
+    n_users, n_items = 10, 15
+    mat = _random_interactions(n_users, n_items, 60, seed=5)
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    for field in ("item_embeddings", "user_embeddings", "item_biases", "user_biases"):
+        setattr(model, field, np.zeros_like(getattr(model, field)))
+    full = sp.csr_matrix(
+        (
+            np.ones(n_items, np.float32),
+            (np.zeros(n_items, int), np.arange(n_items)),
+        ),
+        shape=(n_users, n_items),
+    )
+    ranks = model.predict_rank(full).tocsr()
+    assert np.all(ranks.data == n_items - 1)
+
+
+def test_warp_fewer_items_than_max_sampled_terminates():
+    mat = sp.coo_matrix(
+        (np.ones(3, np.float32), ([0, 1, 2], [0, 1, 1])), shape=(3, 2)
+    )
+    LightFM(loss="warp", max_sampled=10, random_state=1).fit(mat, epochs=2)
+
+
+def test_max_sampled_zero_rejected():
+    with pytest.raises(ValueError):
+        LightFM(max_sampled=0)
+
+
+def test_intersection_check():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    with pytest.raises(ValueError):
+        model.predict_rank(mat.tocsr(), train_interactions=mat.tocsr())
+    # check_intersections=False tolerates overlap
+    model.predict_rank(
+        mat.tocsr(), train_interactions=mat.tocsr(), check_intersections=False
+    )
+
+
+def test_get_set_params_sklearn_contract():
+    model = LightFM(no_components=7)
+    params = model.get_params()
+    assert params["no_components"] == 7
+    model.set_params(no_components=11)
+    assert model.no_components == 11
+    with pytest.raises(ValueError):
+        model.set_params(bogus_param=1)
+
+
+def test_pickle_before_and_after_fit():
+    model = LightFM(random_state=1)
+    pickle.loads(pickle.dumps(model))
+    mat = _random_interactions()
+    model.fit(mat, epochs=2)
+    clone = pickle.loads(pickle.dumps(model))
+    assert np.allclose(
+        model.predict(np.array([0, 1]), np.array([2, 3])),
+        clone.predict(np.array([0, 1]), np.array([2, 3])),
+    )
+
+
+def test_representations_roundtrip():
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    biases, emb = model.get_item_representations()
+    assert emb.shape == (mat.shape[1], model.no_components)
+    feats = sp.identity(mat.shape[1], format="csr", dtype=np.float32)
+    biases2, emb2 = model.get_item_representations(features=feats)
+    assert np.allclose(emb, emb2, atol=1e-6)
