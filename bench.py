@@ -59,7 +59,7 @@ def main():
 
     model = LightFM(loss="warp", no_components=10, random_state=10)
     # Warmup: compile the epoch executable (first TPU compile is slow).
-    model.fit(train, epochs=1)
+    model.fit(train, epochs=epochs)
 
     model = LightFM(loss="warp", no_components=10, random_state=10)
     t0 = time.perf_counter()

@@ -14,12 +14,12 @@ SGD with racy shared-memory writes, each step processes a whole minibatch:
 - k-OS's "sample n positives, qsort, take the k-th best" (template:969-1003)
   becomes a masked batched sort.
 
-The gradient structure matches ``update`` (template:454-534) and
-``warp_update`` (template:537-649): per-touch gradients are (feature weight x
-loss x counterpart representation component), applied through
-:func:`lightfm_tpu.ops.updates.sparse_update`.  Equivalence to the reference
-is statistical, not bitwise — the same bar the reference applies to its own
-Hogwild parallelism (tests/test_movielens.py:536 in the reference).
+Gradients match ``update`` (template:454-534) and ``warp_update``
+(template:537-649).  Representations and tables carry the bias as the last
+column, so one fused [B, D+1] gradient per table covers what the reference
+splits into ``update_biases`` + per-component ``update_features`` calls.
+Equivalence to the reference is statistical, not bitwise — the same bar the
+reference applies to its own Hogwild parallelism (its test_movielens.py:536).
 """
 
 from __future__ import annotations
@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from lightfm_tpu.config import MAX_LOSS, Hyperparams
 from lightfm_tpu.ops.representation import batch_representation, score_pairs
 from lightfm_tpu.ops.updates import sparse_update
-from lightfm_tpu.sparse import PaddedRows, PaddedSortedRows, in_positives
+from lightfm_tpu.sparse import IdentityRows, PaddedRows, PaddedSortedRows, in_positives
 from lightfm_tpu.state import ModelState
 
 
@@ -44,153 +44,107 @@ class Batch(NamedTuple):
     valid: jax.Array  # bool [B]
 
 
-# ---------------------------------------------------------------------------
-# Update application helpers
-# ---------------------------------------------------------------------------
+def _with_bias_grad(emb_factor: jax.Array, bias_grad: jax.Array) -> jax.Array:
+    """[B, D+1] per-sample gradient: embedding columns + bias column."""
+    return jnp.concatenate([emb_factor, bias_grad[:, None]], axis=1)
 
 
-def _flatten_touches(feats: PaddedRows, rows: jax.Array, g: jax.Array, mask: jax.Array):
-    """Expand per-sample gradients to per-(sample, feature-slot) touches.
+def _flatten_touches(features, rows: jax.Array, g: jax.Array, mask: jax.Array):
+    """Expand per-sample [B, D+1] gradients to per-(sample, feature) touches.
 
-    rows [B], g [B, D] or [B], mask [B] -> idx [B*P], w [B*P], g [B*P, D?],
-    touch_mask [B*P].  Touch weights are the RAW feature weights (the
-    reference multiplies by scale only on the read path, not in updates;
-    template:311 vs :366).
+    Identity features touch exactly their own row: no expansion needed.
+    General features expand to [B*P] touches with the RAW feature weights
+    (the reference multiplies by scale only on the read path, template:311
+    vs :366).
     """
-    idx = feats.idx[rows]  # [B, P]
-    w = feats.wts[rows]
-    P = idx.shape[1]
+    if isinstance(features, IdentityRows):
+        return rows, jnp.ones_like(rows, dtype=g.dtype), g, mask
+    idx = features.idx[rows]  # [B, P]
+    w = features.wts[rows]
+    B, P = idx.shape
     tmask = mask[:, None] & (w != 0)
-    if g.ndim == 2:
-        g_exp = jnp.broadcast_to(g[:, None, :], (g.shape[0], P, g.shape[1]))
-        g_flat = g_exp.reshape(-1, g.shape[1])
-    else:
-        g_flat = jnp.broadcast_to(g[:, None], (g.shape[0], P)).reshape(-1)
+    g_flat = jnp.broadcast_to(g[:, None, :], (B, P, g.shape[1])).reshape(B * P, -1)
     return idx.reshape(-1), w.reshape(-1), g_flat, tmask.reshape(-1)
 
 
 def _update_scales(state: ModelState, hp: Hyperparams, sum_lr, n_touch, n_updates):
-    """Batched analogue of the per-example scale bump (template:528-534).
-
-    The reference multiplies each scale by ``(1 + alpha * avg_lr)`` once per
-    example; we apply the batch-average learning rate raised to the number of
-    examples actually updated.
-    """
+    """Batched analogue of the per-example scale bump (template:528-534)."""
     if hp.item_alpha == 0.0 and hp.user_alpha == 0.0:
         return state
     avg_lr = sum_lr / jnp.maximum(n_touch, 1.0)
-    item_scale = state.item_scale * jnp.power(1.0 + hp.item_alpha * avg_lr, n_updates)
-    user_scale = state.user_scale * jnp.power(1.0 + hp.user_alpha * avg_lr, n_updates)
-    return state._replace(item_scale=item_scale, user_scale=user_scale)
+    return state._replace(
+        item_scale=state.item_scale
+        * jnp.power(1.0 + hp.item_alpha * avg_lr, n_updates),
+        user_scale=state.user_scale
+        * jnp.power(1.0 + hp.user_alpha * avg_lr, n_updates),
+    )
 
 
-def _run_updates(state: ModelState, hp: Hyperparams, item_touches, user_touches, upd_mask):
-    """Apply a list of (idx, w, g_emb, g_bias, mask) touch groups per table."""
+def _run_updates(state, hp, item_touches, user_touches, upd_mask):
+    """One fused sparse optimizer pass per table."""
     kw = dict(
         adadelta=hp.adadelta,
         learning_rate=hp.learning_rate,
         rho=hp.rho,
         eps=hp.epsilon,
     )
-    sum_lr = 0.0
-    n_touch = 0.0
+    if len(item_touches) == 1:
+        i_idx, i_w, i_g, i_m = item_touches[0]
+    else:
+        i_idx = jnp.concatenate([t[0] for t in item_touches])
+        i_w = jnp.concatenate([t[1] for t in item_touches])
+        i_g = jnp.concatenate([t[2] for t in item_touches])
+        i_m = jnp.concatenate([t[3] for t in item_touches])
 
-    # Item table: concatenate all touch groups into one scatter pass.
-    i_idx = jnp.concatenate([t[0] for t in item_touches])
-    i_w = jnp.concatenate([t[1] for t in item_touches])
-    i_ge = jnp.concatenate([t[2] for t in item_touches])
-    i_gb = jnp.concatenate([t[3] for t in item_touches])
-    i_m = jnp.concatenate([t[4] for t in item_touches])
+    table, acc, mom, lr_i, cnt_i = sparse_update(
+        state.item_table, state.item_acc, state.item_mom,
+        i_idx, i_w, i_g, i_m, alpha=hp.item_alpha, **kw,
+    )
+    state = state._replace(item_table=table, item_acc=acc, item_mom=mom)
 
-    emb, eg, em, lr1, c1 = sparse_update(
-        state.item_embeddings,
-        state.item_embedding_gradients,
-        state.item_embedding_momentum,
-        i_idx, i_w, i_ge, i_m, alpha=hp.item_alpha, **kw,
+    u_idx, u_w, u_g, u_m = user_touches
+    table, acc, mom, lr_u, cnt_u = sparse_update(
+        state.user_table, state.user_acc, state.user_mom,
+        u_idx, u_w, u_g, u_m, alpha=hp.user_alpha, **kw,
     )
-    bias, bg, bm, lr2, c2 = sparse_update(
-        state.item_biases,
-        state.item_bias_gradients,
-        state.item_bias_momentum,
-        i_idx, i_w, i_gb, i_m, alpha=hp.item_alpha, **kw,
-    )
-    state = state._replace(
-        item_embeddings=emb, item_embedding_gradients=eg, item_embedding_momentum=em,
-        item_biases=bias, item_bias_gradients=bg, item_bias_momentum=bm,
-    )
-    sum_lr += lr1 + lr2
-    n_touch += c1 + c2
+    state = state._replace(user_table=table, user_acc=acc, user_mom=mom)
 
-    u_idx, u_w, u_ge, u_gb, u_m = user_touches
-    emb, eg, em, lr1, c1 = sparse_update(
-        state.user_embeddings,
-        state.user_embedding_gradients,
-        state.user_embedding_momentum,
-        u_idx, u_w, u_ge, u_m, alpha=hp.user_alpha, **kw,
-    )
-    bias, bg, bm, lr2, c2 = sparse_update(
-        state.user_biases,
-        state.user_bias_gradients,
-        state.user_bias_momentum,
-        u_idx, u_w, u_gb, u_m, alpha=hp.user_alpha, **kw,
-    )
-    state = state._replace(
-        user_embeddings=emb, user_embedding_gradients=eg, user_embedding_momentum=em,
-        user_biases=bias, user_bias_gradients=bg, user_bias_momentum=bm,
-    )
-    sum_lr += lr1 + lr2
-    n_touch += c1 + c2
-
+    if hp.item_alpha == 0.0 and hp.user_alpha == 0.0:
+        return state
     n_updates = jnp.sum(upd_mask.astype(jnp.float32))
-    return _update_scales(state, hp, sum_lr, n_touch, n_updates)
+    return _update_scales(state, hp, lr_i + lr_u, cnt_i + cnt_u, n_updates)
 
 
-def _apply_pointwise(
-    state, hp, user_feats, item_feats, uid, iid, u_rep, i_rep, loss, upd_mask
-):
+def _apply_pointwise(state, hp, user_feats, item_feats, uid, iid, u_rep, i_rep, loss, upd):
     """Gradient step of the logistic loss (``update``, template:454-534).
 
-    item features: grad = loss * user_component; bias grad = loss.
-    user features: grad = loss * item_component; bias grad = loss.
+    item: grad = loss * user_component per embedding column, loss for bias.
+    user: symmetric with item components.
     """
-    ii, iw, ige, imask = _flatten_touches(item_feats, iid, loss[:, None] * u_rep, upd_mask)
-    _, _, igb, _ = _flatten_touches(item_feats, iid, loss, upd_mask)
-
-    ui, uw, uge, umask = _flatten_touches(user_feats, uid, loss[:, None] * i_rep, upd_mask)
-    _, _, ugb, _ = _flatten_touches(user_feats, uid, loss, upd_mask)
-
-    return _run_updates(
-        state, hp,
-        item_touches=[(ii, iw, ige, igb, imask)],
-        user_touches=(ui, uw, uge, ugb, umask),
-        upd_mask=upd_mask,
-    )
+    D = u_rep.shape[1] - 1
+    g_item = _with_bias_grad(loss[:, None] * u_rep[:, :D], loss)
+    g_user = _with_bias_grad(loss[:, None] * i_rep[:, :D], loss)
+    item_t = _flatten_touches(item_feats, iid, g_item, upd)
+    user_t = _flatten_touches(user_feats, uid, g_user, upd)
+    return _run_updates(state, hp, [item_t], user_t, upd)
 
 
 def _apply_pairwise(
     state, hp, user_feats, item_feats, uid, pos_iid, neg_iid,
-    u_rep, p_rep, n_rep, loss, upd_mask,
+    u_rep, p_rep, n_rep, loss, upd,
 ):
     """Gradient step of the ranking losses (``warp_update``, template:537-649).
 
-    positive item: grad = -loss * user;  negative item: grad = +loss * user;
-    user: grad = loss * (neg - pos);  biases analogous with component = 1.
+    positive item: -loss * user;  negative item: +loss * user;
+    user: loss * (neg - pos);  bias column analogous with component = 1.
     """
-    pi, pw, pge, pmask = _flatten_touches(item_feats, pos_iid, -loss[:, None] * u_rep, upd_mask)
-    _, _, pgb, _ = _flatten_touches(item_feats, pos_iid, -loss, upd_mask)
-    ni, nw, nge, nmask = _flatten_touches(item_feats, neg_iid, loss[:, None] * u_rep, upd_mask)
-    _, _, ngb, _ = _flatten_touches(item_feats, neg_iid, loss, upd_mask)
-
-    ug = loss[:, None] * (n_rep - p_rep)
-    ui, uw, uge, umask = _flatten_touches(user_feats, uid, ug, upd_mask)
-    _, _, ugb, _ = _flatten_touches(user_feats, uid, loss, upd_mask)
-
-    return _run_updates(
-        state, hp,
-        item_touches=[(pi, pw, pge, pgb, pmask), (ni, nw, nge, ngb, nmask)],
-        user_touches=(ui, uw, uge, ugb, umask),
-        upd_mask=upd_mask,
-    )
+    D = u_rep.shape[1] - 1
+    lu = _with_bias_grad(loss[:, None] * u_rep[:, :D], loss)  # [B, D+1]
+    pos_t = _flatten_touches(item_feats, pos_iid, -lu, upd)
+    neg_t = _flatten_touches(item_feats, neg_iid, lu, upd)
+    g_user = _with_bias_grad(loss[:, None] * (n_rep[:, :D] - p_rep[:, :D]), loss)
+    user_t = _flatten_touches(user_feats, uid, g_user, upd)
+    return _run_updates(state, hp, [pos_t, neg_t], user_t, upd)
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +155,8 @@ def _apply_pairwise(
 def logistic_step(
     state: ModelState,
     batch: Batch,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     positives: Optional[PaddedSortedRows],
     train_items: Optional[jax.Array],
     hp: Hyperparams,
@@ -210,13 +164,9 @@ def logistic_step(
 ) -> ModelState:
     """Batched sigmoid regression step (``fit_logistic``, template:694-781)."""
     del positives, train_items, key
-    u_rep, u_b = batch_representation(
-        state.user_embeddings, state.user_biases, user_feats, batch.user_ids, state.user_scale
-    )
-    i_rep, i_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, batch.item_ids, state.item_scale
-    )
-    pred = jax.nn.sigmoid(score_pairs(u_rep, u_b, i_rep, i_b))
+    u_rep = batch_representation(state.user_table, user_feats, batch.user_ids, state.user_scale)
+    i_rep = batch_representation(state.item_table, item_feats, batch.item_ids, state.item_scale)
+    pred = jax.nn.sigmoid(score_pairs(u_rep, i_rep))
     # Any value <= 0 is a negative interaction (template:751-758).
     y01 = (batch.y > 0).astype(jnp.float32)
     loss = batch.weight * (pred - y01)
@@ -226,9 +176,7 @@ def logistic_step(
     )
 
 
-def _warp_negative_search(
-    state, item_feats, positives, uid, u_rep, u_b, pos_pred, key, hp
-):
+def _warp_negative_search(state, item_feats, positives, uid, u_rep, pos_pred, key, hp):
     """Draw max_sampled negatives at once; select the first margin violator.
 
     Vectorises the reference's sequential sampling loop (template:855-899):
@@ -240,11 +188,14 @@ def _warp_negative_search(
     B = uid.shape[0]
     K = hp.max_sampled
     n_items = item_feats.n_rows
+    D = u_rep.shape[1] - 1
     neg_ids = jax.random.randint(key, (B, K), 0, n_items, dtype=jnp.int32)
-    nf_rep, nf_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, neg_ids, state.item_scale
-    )  # [B, K, D], [B, K]
-    neg_pred = jnp.einsum("bd,bkd->bk", u_rep, nf_rep) + u_b[:, None] + nf_b
+    nf_rep = batch_representation(state.item_table, item_feats, neg_ids, state.item_scale)
+    neg_pred = (
+        jnp.einsum("bd,bkd->bk", u_rep[:, :D], nf_rep[..., :D])
+        + u_rep[:, D][:, None]
+        + nf_rep[..., D]
+    )
     violates = neg_pred > pos_pred[:, None] - 1.0
     is_pos = in_positives(positives, uid[:, None], neg_ids)
     cand = violates & (~is_pos)
@@ -260,27 +211,48 @@ def _warp_negative_search(
 def warp_step(
     state: ModelState,
     batch: Batch,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     positives: PaddedSortedRows,
     train_items: Optional[jax.Array],
     hp: Hyperparams,
     key: jax.Array,
 ) -> ModelState:
-    """Batched WARP step (``fit_warp``, template:784-912)."""
+    """Batched WARP step (``fit_warp``, template:784-912).
+
+    The positive item rides the negative-candidates gather ([B, K+1] in one
+    pass) so the step pays a single item-table gather and a single scoring
+    einsum for all K+1 candidates.
+    """
     del train_items
     upd_base = batch.valid & (batch.y > 0)  # template:831
-    u_rep, u_b = batch_representation(
-        state.user_embeddings, state.user_biases, user_feats, batch.user_ids, state.user_scale
-    )
-    p_rep, p_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, batch.item_ids, state.item_scale
-    )
-    pos_pred = score_pairs(u_rep, u_b, p_rep, p_b)
+    u_rep = batch_representation(state.user_table, user_feats, batch.user_ids, state.user_scale)
 
-    neg_id, n_rep, found, rank_weight = _warp_negative_search(
-        state, item_feats, positives, batch.user_ids, u_rep, u_b, pos_pred, key, hp
-    )
+    B = batch.user_ids.shape[0]
+    K = hp.max_sampled
+    n_items = item_feats.n_rows
+    D = u_rep.shape[1] - 1
+    neg_ids = jax.random.randint(key, (B, K), 0, n_items, dtype=jnp.int32)
+    all_ids = jnp.concatenate([batch.item_ids[:, None], neg_ids], axis=1)  # [B, K+1]
+    reps = batch_representation(state.item_table, item_feats, all_ids, state.item_scale)
+    preds = (
+        jnp.einsum("bd,bkd->bk", u_rep[:, :D], reps[..., :D])
+        + u_rep[:, D][:, None]
+        + reps[..., D]
+    )  # [B, K+1]
+    pos_pred, neg_pred = preds[:, 0], preds[:, 1:]
+    p_rep = reps[:, 0]
+
+    violates = neg_pred > pos_pred[:, None] - 1.0  # template:875
+    is_pos = in_positives(positives, batch.user_ids[:, None], neg_ids)  # template:878
+    cand = violates & (~is_pos)
+    found = cand.any(axis=-1)
+    j = jnp.argmax(cand, axis=-1)  # first violating draw
+    sampled = (j + 1).astype(jnp.float32)
+    rank_weight = jnp.log(jnp.maximum(1.0, jnp.floor((n_items - 1) / sampled)))
+    neg_id = jnp.take_along_axis(neg_ids, j[:, None], axis=-1)[:, 0]
+    n_rep = jnp.take_along_axis(reps, j[:, None, None] + 1, axis=1)[:, 0]
+
     loss = jnp.minimum(batch.weight * rank_weight, MAX_LOSS)  # template:881-885
     return _apply_pairwise(
         state, hp, user_feats, item_feats, batch.user_ids, batch.item_ids, neg_id,
@@ -291,8 +263,8 @@ def warp_step(
 def bpr_step(
     state: ModelState,
     batch: Batch,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     positives: PaddedSortedRows,
     train_items: jax.Array,
     hp: Hyperparams,
@@ -314,18 +286,12 @@ def bpr_step(
     j = jnp.where(ok.any(-1), jnp.argmax(ok, axis=-1), T - 1)
     neg_id = jnp.take_along_axis(cand, j[:, None], axis=-1)[:, 0]
 
-    u_rep, u_b = batch_representation(
-        state.user_embeddings, state.user_biases, user_feats, batch.user_ids, state.user_scale
-    )
-    p_rep, p_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, batch.item_ids, state.item_scale
-    )
-    n_rep, n_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, neg_id, state.item_scale
-    )
-    pos_pred = score_pairs(u_rep, u_b, p_rep, p_b)
-    neg_pred = score_pairs(u_rep, u_b, n_rep, n_b)
-    loss = batch.weight * (1.0 - jax.nn.sigmoid(pos_pred - neg_pred))  # template:1158
+    u_rep = batch_representation(state.user_table, user_feats, batch.user_ids, state.user_scale)
+    p_rep = batch_representation(state.item_table, item_feats, batch.item_ids, state.item_scale)
+    n_rep = batch_representation(state.item_table, item_feats, neg_id, state.item_scale)
+    loss = batch.weight * (
+        1.0 - jax.nn.sigmoid(score_pairs(u_rep, p_rep) - score_pairs(u_rep, n_rep))
+    )  # template:1158
     return _apply_pairwise(
         state, hp, user_feats, item_feats, batch.user_ids, batch.item_ids, neg_id,
         u_rep, p_rep, n_rep, loss, upd,
@@ -335,8 +301,8 @@ def bpr_step(
 def warp_kos_step(
     state: ModelState,
     batch: Batch,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     positives: PaddedSortedRows,
     train_items: Optional[jax.Array],
     hp: Hyperparams,
@@ -352,14 +318,13 @@ def warp_kos_step(
     del train_items
     uid = batch.user_ids
     B = uid.shape[0]
+    D = state.no_components
     kpos, kneg = jax.random.split(key)
 
     lens = positives.lengths[uid]  # [B]
     upd_base = batch.valid & (lens > 0)  # template:972-973
 
-    u_rep, u_b = batch_representation(
-        state.user_embeddings, state.user_biases, user_feats, uid, state.user_scale
-    )
+    u_rep = batch_representation(state.user_table, user_feats, uid, state.user_scale)
 
     # Sample n positive candidates with replacement (template:977-995).
     r = jax.random.randint(
@@ -368,10 +333,12 @@ def warp_kos_step(
     user_rows = positives.idx[uid]  # [B, P] sorted positives
     cand = jnp.take_along_axis(user_rows, r, axis=-1)  # [B, n]
     cand = jnp.minimum(cand, item_feats.n_rows - 1)  # clamp sentinel for empty rows
-    pc_rep, pc_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, cand, state.item_scale
+    pc_rep = batch_representation(state.item_table, item_feats, cand, state.item_scale)
+    scores = (
+        jnp.einsum("bd,bnd->bn", u_rep[:, :D], pc_rep[..., :D])
+        + u_rep[:, D][:, None]
+        + pc_rep[..., D]
     )
-    scores = jnp.einsum("bd,bnd->bn", u_rep, pc_rep) + u_b[:, None] + pc_b
 
     no_pos = jnp.minimum(hp.n, lens)  # template:976
     draw_valid = jnp.arange(hp.n)[None, :] < no_pos[:, None]
@@ -384,7 +351,7 @@ def warp_kos_step(
     p_rep = jnp.take_along_axis(pc_rep, sel[:, None, None], axis=1)[:, 0]
 
     neg_id, n_rep, found, rank_weight = _warp_negative_search(
-        state, item_feats, positives, uid, u_rep, u_b, pos_pred, kneg, hp
+        state, item_feats, positives, uid, u_rep, pos_pred, kneg, hp
     )
     loss = jnp.minimum(rank_weight, MAX_LOSS)  # template:1039-1043 (no weight)
     return _apply_pairwise(

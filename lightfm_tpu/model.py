@@ -21,37 +21,42 @@ from lightfm_tpu.ops.representation import batch_representation, score_pairs
 from lightfm_tpu.ops.ranking import predict_ranks_padded
 from lightfm_tpu.sparse import PaddedRows, identity_rows, pad_csr, pad_csr_sorted
 from lightfm_tpu.state import ModelState, init_state
-from lightfm_tpu.train import TrainData, build_train_data, choose_batch_size, run_epoch
+from lightfm_tpu.train import (
+    TrainData,
+    build_train_data,
+    choose_batch_size,
+    run_epoch,
+    run_epochs,
+)
 
 __all__ = ["LightFM"]
 
 CYTHON_DTYPE = np.float32  # the reference's on-disk dtype; kept for parity
 
-_STATE_FIELDS = (
-    "item_embeddings",
-    "item_embedding_gradients",
-    "item_embedding_momentum",
-    "item_biases",
-    "item_bias_gradients",
-    "item_bias_momentum",
-    "user_embeddings",
-    "user_embedding_gradients",
-    "user_embedding_momentum",
-    "user_biases",
-    "user_bias_gradients",
-    "user_bias_momentum",
-)
+# Public attribute name -> (internal fused array, column view).  The
+# reference exposes 12 separate arrays (`lightfm/lightfm.py:243-257`);
+# internally biases live in column D of each table (see lightfm_tpu.state).
+_FIELD_MAP = {
+    "item_embeddings": ("item_table", "emb"),
+    "item_biases": ("item_table", "bias"),
+    "item_embedding_gradients": ("item_acc", "emb"),
+    "item_bias_gradients": ("item_acc", "bias"),
+    "item_embedding_momentum": ("item_mom", "emb"),
+    "item_bias_momentum": ("item_mom", "bias"),
+    "user_embeddings": ("user_table", "emb"),
+    "user_biases": ("user_table", "bias"),
+    "user_embedding_gradients": ("user_acc", "emb"),
+    "user_bias_gradients": ("user_acc", "bias"),
+    "user_embedding_momentum": ("user_mom", "emb"),
+    "user_bias_momentum": ("user_mom", "bias"),
+}
 
 
 @jax.jit
 def _predict_pairs_jit(state: ModelState, user_feats, item_feats, user_ids, item_ids):
-    u_rep, u_b = batch_representation(
-        state.user_embeddings, state.user_biases, user_feats, user_ids, state.user_scale
-    )
-    i_rep, i_b = batch_representation(
-        state.item_embeddings, state.item_biases, item_feats, item_ids, state.item_scale
-    )
-    return score_pairs(u_rep, u_b, i_rep, i_b)
+    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    i_rep = batch_representation(state.item_table, item_feats, item_ids, state.item_scale)
+    return score_pairs(u_rep, i_rep)
 
 
 class LightFM:
@@ -156,22 +161,31 @@ class LightFM:
             )
 
     # The reference exposes its 12 state arrays as plain numpy attributes
-    # (`lightfm/lightfm.py:243-257`); we expose numpy views over the device
-    # pytree, with setters that write through (used by tests and user code
-    # that surgically edits embeddings).
+    # (`lightfm/lightfm.py:243-257`); we expose numpy views over the fused
+    # device tables, with setters that write through (used by tests and user
+    # code that surgically edits embeddings).
     def _get_field(self, name):
         if self._state is None:
             return None
-        return np.asarray(getattr(self._state, name))
+        attr, kind = _FIELD_MAP[name]
+        arr = np.asarray(getattr(self._state, attr))
+        D = arr.shape[1] - 1
+        return arr[:, :D] if kind == "emb" else arr[:, D]
 
     def _set_field(self, name, value):
         if value is None:
             return
         if self._state is None:
             raise ValueError("Cannot set model state before the model is fitted.")
-        self._state = self._state._replace(
-            **{name: jnp.asarray(np.asarray(value, dtype=np.float32))}
-        )
+        attr, kind = _FIELD_MAP[name]
+        table = getattr(self._state, attr)
+        D = table.shape[1] - 1
+        value = jnp.asarray(np.asarray(value, dtype=np.float32))
+        if kind == "emb":
+            table = table.at[:, :D].set(value)
+        else:
+            table = table.at[:, D].set(value)
+        self._state = self._state._replace(**{attr: table})
 
     # ------------------------------------------------------------------
     # Input coercion / validation (mirrors lightfm.py:314-472)
@@ -198,20 +212,20 @@ class LightFM:
             )
 
         if self._state is not None:
-            if not self._state.user_embeddings.shape[0] >= user_features.shape[1]:
+            if not self._state.user_table.shape[0] >= user_features.shape[1]:
                 raise ValueError(
                     "The user feature matrix specifies more "
                     "features than there are estimated "
                     "feature embeddings: {} vs {}.".format(
-                        self._state.user_embeddings.shape[0], user_features.shape[1]
+                        self._state.user_table.shape[0], user_features.shape[1]
                     )
                 )
-            if not self._state.item_embeddings.shape[0] >= item_features.shape[1]:
+            if not self._state.item_table.shape[0] >= item_features.shape[1]:
                 raise ValueError(
                     "The item feature matrix specifies more "
                     "features than there are estimated "
                     "feature embeddings: {} vs {}.".format(
-                        self._state.item_embeddings.shape[0], item_features.shape[1]
+                        self._state.item_table.shape[0], item_features.shape[1]
                     )
                 )
 
@@ -268,12 +282,7 @@ class LightFM:
 
     def _check_finite(self):
         state = self._state
-        for parameter in (
-            state.item_embeddings,
-            state.item_biases,
-            state.user_embeddings,
-            state.user_biases,
-        ):
+        for parameter in (state.item_table, state.user_table):
             if not np.isfinite(float(jnp.sum(parameter))):
                 raise ValueError(
                     "Not all estimated parameters are finite,"
@@ -371,9 +380,9 @@ class LightFM:
                 adagrad=(self.learning_schedule == "adagrad"),
             )
 
-        if not item_features.shape[1] == self._state.item_embeddings.shape[0]:
+        if not item_features.shape[1] == self._state.item_table.shape[0]:
             raise ValueError("Incorrect number of features in item_features")
-        if not user_features.shape[1] == self._state.user_embeddings.shape[0]:
+        if not user_features.shape[1] == self._state.user_table.shape[0]:
             raise ValueError("Incorrect number of features in user_features")
         if num_threads < 1:
             raise ValueError("Number of threads must be 1 or larger.")
@@ -395,14 +404,28 @@ class LightFM:
             self._state = shard_state(self._state, self.mesh, self.table_partition)
             data = shard_train_data(data, self.mesh)
 
-        for _ in self._progress(epochs, verbose=verbose):
-            # All device randomness is rooted in the numpy RandomState so
-            # that seeded runs reproduce and the RNG advances across epochs
-            # (the reference's `test_random_state_fixing` contract).
-            seed = int(self.random_state.randint(0, np.iinfo(np.int32).max))
-            key = jax.random.key(seed)
-            self._state = run_epoch(
-                self._state, data, key, hp, batch_size, mesh=self.mesh
+        # All device randomness is rooted in the numpy RandomState so that
+        # seeded runs reproduce and the RNG advances across epochs (the
+        # reference's `test_random_state_fixing` contract): one seed drawn
+        # per epoch regardless of dispatch granularity.
+        seeds = self.random_state.randint(
+            0, np.iinfo(np.int32).max, size=epochs
+        ).astype(np.uint32)
+
+        if verbose:
+            # Per-epoch dispatch so progress/finite checks track epochs,
+            # exactly like the reference's epoch loop (lightfm.py:654-664).
+            for i in self._progress(epochs, verbose=verbose):
+                key = jax.random.key(int(seeds[i]))
+                self._state = run_epoch(
+                    self._state, data, key, hp, batch_size, mesh=self.mesh
+                )
+                self._check_finite()
+        elif epochs > 0:
+            # Whole fit in ONE dispatch: epochs scanned on device; divergence
+            # (`_check_finite`, lightfm.py:447-464) still raises from fit.
+            self._state = run_epochs(
+                self._state, data, jnp.asarray(seeds), hp, batch_size, mesh=self.mesh
             )
             self._check_finite()
 
@@ -505,9 +528,9 @@ class LightFM:
             n_users, n_items, user_features, item_features
         )
 
-        if not item_features.shape[1] == self._state.item_embeddings.shape[0]:
+        if not item_features.shape[1] == self._state.item_table.shape[0]:
             raise ValueError("Incorrect number of features in item_features")
-        if not user_features.shape[1] == self._state.user_embeddings.shape[0]:
+        if not user_features.shape[1] == self._state.user_table.shape[0]:
             raise ValueError("Incorrect number of features in user_features")
 
         test_interactions = test_interactions.tocsr()
@@ -622,5 +645,5 @@ def _make_state_property(name):
     return property(getter, setter)
 
 
-for _f in _STATE_FIELDS:
+for _f in _FIELD_MAP:
     setattr(LightFM, _f, _make_state_property(_f))

@@ -5,19 +5,17 @@ scan per user (`_lightfm_fast.pyx.template:1232-1323`): for every test
 interaction, count catalog items (excluding train positives) whose score is
 ``>=`` the test item's score (pessimistic ties, template:1318).
 
-Here the same quantity is computed as blocked dense linear algebra:
+Here the same quantity is computed as blocked dense linear algebra on the
+MXU.  Scores use AUGMENTED representations so biases ride the matmul:
+``u' = [u_emb, 1, u_bias]``, ``i' = [i_emb, i_bias, 1]`` makes
+``u' . i' = dot + u_bias + i_bias`` — one [UB, D+2] x [D+2, I] matmul per
+user block.  Ranks are recovered by sorting each score row and binary
+searching: ``count(s_j >= s_t) = I - searchsorted(sorted_row, s_t)``.
 
-1. item representations for the whole catalog (blocked sparse gathers);
-2. per user-block, a [UB, D] x [D, I] MXU matmul gives catalog scores;
-3. train positives are scattered to -inf (so they can never count);
-4. score rows are SORTED and ranks recovered by binary search:
-   ``count(s_j >= s_t) = I - searchsorted(sorted_row, s_t)`` — O(log I)
-   per test item instead of O(I).
-
-Tie semantics must be exact: the test item's own score is read out of the
-very same score row used for counting, so ties (including the all-zero
-embedding edge case) count pessimistically with `>=` and the self-match is
-removed by an exact ``- 1``, matching the reference's
+Tie semantics are exact: the test item's own score is read out of the very
+same score row used for counting, so ties (including the all-zero embedding
+edge case) count pessimistically with `>=` and the self-match is removed by
+an exact ``- 1``, matching the reference's
 ``item_id != item_ids[i] and prediction >= predictions[i]``.
 
 For catalogs too large to hold a [user_block, n_items] score row, a blocked
@@ -35,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from lightfm_tpu.ops.representation import batch_representation, full_representations
-from lightfm_tpu.sparse import PaddedRows
+from lightfm_tpu.sparse import IdentityRows, PaddedRows
 from lightfm_tpu.state import ModelState
 
 _NEG_INF = jnp.float32(-jnp.inf)
@@ -49,22 +47,37 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _catalog_representations(state, item_feats: PaddedRows, n_items: int):
-    """Representations for catalog rows [0, n_items) (the test matrix's
-    column count, template:1301)."""
-    return full_representations(
-        state.item_embeddings,
-        state.item_biases,
-        PaddedRows(item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols),
-        state.item_scale,
-    )
+def _augment_users(u_rep: jax.Array) -> jax.Array:
+    """[.., D+1] -> [.., D+2]: [emb, 1, bias]."""
+    d = u_rep.shape[-1] - 1
+    ones = jnp.ones(u_rep.shape[:-1] + (1,), u_rep.dtype)
+    return jnp.concatenate([u_rep[..., :d], ones, u_rep[..., d:]], axis=-1)
+
+
+def _augment_items(i_rep: jax.Array) -> jax.Array:
+    """[.., D+1] -> [.., D+2]: [emb, bias, 1]."""
+    ones = jnp.ones(i_rep.shape[:-1] + (1,), i_rep.dtype)
+    return jnp.concatenate([i_rep, ones], axis=-1)
+
+
+def _catalog_representations(state, item_feats, n_items: int):
+    """Augmented representations for catalog rows [0, n_items) (the test
+    matrix's column count, template:1301)."""
+    if isinstance(item_feats, IdentityRows):
+        rep = state.item_table[:n_items] * state.item_scale
+    else:
+        trimmed = PaddedRows(
+            item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
+        )
+        rep = full_representations(state.item_table, trimmed, state.item_scale)
+    return _augment_items(rep)
 
 
 @functools.partial(jax.jit, static_argnames=("n_items", "user_block"))
 def _ranks_flat(
     state: ModelState,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     user_ids: jax.Array,  # int32 [Upad]
     test_idx: jax.Array,  # int32 [Upad, T]
     test_valid: jax.Array,  # bool [Upad, T]
@@ -72,30 +85,31 @@ def _ranks_flat(
     n_items: int,
     user_block: int,
 ):
-    item_rep, item_b = _catalog_representations(state, item_feats, n_items)
+    item_aug = _catalog_representations(state, item_feats, n_items)  # [I, D+2]
     i_pad = _round_up(n_items, 128)
-    item_rep = jnp.pad(item_rep, ((0, i_pad - n_items), (0, 0)))
-    # Padding items score -inf so they never outrank anything.
-    item_b = jnp.pad(item_b, (0, i_pad - n_items), constant_values=-np.inf)
+    pad_rows = i_pad - n_items
+    if pad_rows:
+        # Padding items score -inf (bias column) so they never outrank.
+        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
+        pad_block = pad_block.at[:, -2].set(-np.inf)
+        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
 
     u_pad = user_ids.shape[0]
     n_ublocks = u_pad // user_block
 
     def ublock_body(_, xs):
         u_ids, t_idx, t_valid, tr_idx = xs
-        u_rep, u_b = batch_representation(
-            state.user_embeddings, state.user_biases, user_feats, u_ids, state.user_scale
-        )  # [UB, D]
-        scores = (
-            jnp.dot(u_rep, item_rep.T, preferred_element_type=jnp.float32)
-            + u_b[:, None]
-            + item_b[None, :]
-        )  # [UB, Ipad]
+        u_rep = batch_representation(
+            state.user_table, user_feats, u_ids, state.user_scale
+        )
+        u_aug = _augment_users(u_rep)  # [UB, D+2]
+        scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
         rows = jnp.broadcast_to(
             jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape
         )
-        # Exclude train positives (template:1303); sentinel indices drop.
-        scores = scores.at[rows, train_idx_clip(tr_idx, i_pad)].set(
+        # Exclude train positives (template:1303); sentinel indices land on
+        # padding columns (already -inf) or are dropped.
+        scores = scores.at[rows, jnp.minimum(tr_idx, i_pad)].set(
             _NEG_INF, mode="drop"
         )
         rows_t = jnp.broadcast_to(
@@ -125,16 +139,11 @@ def _ranks_flat(
     return ranks.reshape(u_pad, -1)
 
 
-def train_idx_clip(tr_idx: jax.Array, i_pad: int) -> jax.Array:
-    """Map out-of-catalog (sentinel) train indices to a dropped slot."""
-    return jnp.where(tr_idx < i_pad, tr_idx, i_pad)
-
-
 @functools.partial(jax.jit, static_argnames=("n_items", "user_block", "item_block"))
 def _ranks_blocked(
     state: ModelState,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     user_ids: jax.Array,
     test_idx: jax.Array,
     test_valid: jax.Array,
@@ -150,13 +159,15 @@ def _ranks_blocked(
     executes identical ops identically, so both passes see the same floats
     and tie handling stays exact.
     """
-    item_rep, item_b = _catalog_representations(state, item_feats, n_items)
+    item_aug = _catalog_representations(state, item_feats, n_items)
     i_pad = _round_up(n_items, item_block)
-    item_rep = jnp.pad(item_rep, ((0, i_pad - n_items), (0, 0)))
-    item_b = jnp.pad(item_b, (0, i_pad - n_items), constant_values=-np.inf)
+    pad_rows = i_pad - n_items
+    if pad_rows:
+        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
+        pad_block = pad_block.at[:, -2].set(-np.inf)
+        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
     n_iblocks = i_pad // item_block
-    blk_reps = item_rep.reshape(n_iblocks, item_block, -1)
-    blk_bias = item_b.reshape(n_iblocks, item_block)
+    blk_reps = item_aug.reshape(n_iblocks, item_block, -1)
     blk_start = jnp.arange(n_iblocks, dtype=jnp.int32) * item_block
 
     u_pad = user_ids.shape[0]
@@ -164,9 +175,10 @@ def _ranks_blocked(
 
     def ublock_body(_, xs):
         u_ids, t_idx, t_valid, tr_idx = xs
-        u_rep, u_b = batch_representation(
-            state.user_embeddings, state.user_biases, user_feats, u_ids, state.user_scale
+        u_rep = batch_representation(
+            state.user_table, user_feats, u_ids, state.user_scale
         )
+        u_aug = _augment_users(u_rep)
         rows = jnp.broadcast_to(
             jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape
         )
@@ -174,12 +186,8 @@ def _ranks_blocked(
             jnp.arange(user_block, dtype=jnp.int32)[:, None], t_idx.shape
         )
 
-        def block_scores(rep, bias, start):
-            scores = (
-                jnp.dot(u_rep, rep.T, preferred_element_type=jnp.float32)
-                + u_b[:, None]
-                + bias[None, :]
-            )
+        def block_scores(rep, start):
+            scores = jnp.dot(u_aug, rep.T, preferred_element_type=jnp.float32)
             local = jnp.where(
                 (tr_idx >= start) & (tr_idx < start + item_block),
                 tr_idx - start,
@@ -189,21 +197,21 @@ def _ranks_blocked(
 
         # Pass 1: extract test scores from their containing blocks.
         def ts_body(ts, blk):
-            rep, bias, start = blk
-            scores = block_scores(rep, bias, start)
+            rep, start = blk
+            scores = block_scores(rep, start)
             in_blk = (t_idx >= start) & (t_idx < start + item_block)
             local_t = jnp.where(in_blk, t_idx - start, 0)
             ts = jnp.where(in_blk, scores[rows_t, local_t], ts)
             return ts, None
 
         ts0 = jnp.full(t_idx.shape, jnp.inf, dtype=jnp.float32)
-        ts, _ = jax.lax.scan(ts_body, ts0, (blk_reps, blk_bias, blk_start))
+        ts, _ = jax.lax.scan(ts_body, ts0, (blk_reps, blk_start))
         ts = jnp.where(t_valid, ts, jnp.inf)
 
         # Pass 2: count catalog scores >= test scores.
         def count_body(counts, blk):
-            rep, bias, start = blk
-            scores = block_scores(rep, bias, start)
+            rep, start = blk
+            scores = block_scores(rep, start)
             sorted_scores = jnp.sort(scores, axis=-1)
             pos = jax.vmap(
                 lambda srow, trow: jnp.searchsorted(srow, trow, side="left")
@@ -211,7 +219,7 @@ def _ranks_blocked(
             return counts + (item_block - pos).astype(jnp.float32), None
 
         counts0 = jnp.zeros(ts.shape, dtype=jnp.float32)
-        counts, _ = jax.lax.scan(count_body, counts0, (blk_reps, blk_bias, blk_start))
+        counts, _ = jax.lax.scan(count_body, counts0, (blk_reps, blk_start))
         ranks = jnp.where(t_valid, counts - 1.0, 0.0)
         return None, ranks
 
@@ -230,8 +238,8 @@ def _ranks_blocked(
 
 def predict_ranks_padded(
     state: ModelState,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     test_csr,
     train_csr,
     user_block: int = 256,

@@ -3,10 +3,12 @@
 TPU-native replacement for the reference's scalar loops
 ``compute_representation`` (`_lightfm_fast.pyx.template:287-317`) and
 ``compute_prediction_from_repr`` (`template:320-334`): batched gathers plus
-einsums that XLA fuses and tiles onto the VPU/MXU.  A user/item
-representation is the weighted sum of its feature embeddings; its bias the
-weighted sum of feature biases.  The lazy-regularisation ``scale`` multiplies
-feature weights exactly as in the reference.
+einsums that XLA fuses and tiles onto the VPU/MXU.
+
+Representations are ``[..., D+1]`` vectors whose last element is the summed
+bias — exactly the reference's layout (template:305, "the last element of the
+representation is the bias").  Tables store that layout directly (bias fused
+as column D), so the identity-features case is a single row gather.
 """
 
 from __future__ import annotations
@@ -14,53 +16,62 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lightfm_tpu.sparse import PaddedRows
+from lightfm_tpu.sparse import IdentityRows, PaddedRows
 
 
 def batch_representation(
-    embeddings: jax.Array,  # [n_features, D]
-    biases: jax.Array,  # [n_features]
-    features: PaddedRows,
+    table: jax.Array,  # [n_features, D+1]
+    features,
     row_ids: jax.Array,  # int32 [...]
     scale: jax.Array | float = 1.0,
-):
-    """Representations for a batch of rows.
+) -> jax.Array:
+    """Representations for a batch of rows: ``[..., D+1]`` incl. bias slot.
 
-    Returns ``(repr [..., D], bias [...])``.  Padding slots have weight 0 and
-    therefore contribute nothing; no masking needed.
+    Identity features (the default / pure-MF case, `lightfm/lightfm.py:318-326`)
+    skip the feature walk entirely: the representation IS the table row.
+    Padding slots of general features have weight 0 and contribute nothing.
     """
+    if isinstance(features, IdentityRows):
+        return table[row_ids] * scale
     idx = features.idx[row_ids]  # [..., P]
     wts = features.wts[row_ids] * scale  # [..., P]
-    emb = embeddings[idx]  # [..., P, D]
-    rep = jnp.einsum("...p,...pd->...d", wts, emb)
-    bias = jnp.einsum("...p,...p->...", wts, biases[idx])
-    return rep, bias
+    emb = table[idx]  # [..., P, D+1]
+    return jnp.einsum("...p,...pd->...d", wts, emb)
 
 
-def score_pairs(user_rep, user_bias, item_rep, item_bias):
-    """dot(user, item) + user_bias + item_bias (template:320-334)."""
-    return jnp.einsum("...d,...d->...", user_rep, item_rep) + user_bias + item_bias
+def score_pairs(user_rep: jax.Array, item_rep: jax.Array) -> jax.Array:
+    """dot(user_emb, item_emb) + user_bias + item_bias (template:320-334).
+
+    Inputs are [..., D+1] representations with the bias in the last slot.
+    """
+    d = user_rep.shape[-1] - 1
+    return (
+        jnp.einsum("...d,...d->...", user_rep[..., :d], item_rep[..., :d])
+        + user_rep[..., d]
+        + item_rep[..., d]
+    )
 
 
 def full_representations(
-    embeddings: jax.Array,
-    biases: jax.Array,
-    features: PaddedRows,
+    table: jax.Array,
+    features,
     scale: jax.Array | float = 1.0,
     block: int = 8192,
 ):
     """Representations for ALL rows of a feature matrix, computed in blocks.
 
-    This is the sparse-dense matmul ``features @ embeddings`` realised as
-    blocked padded gathers so memory stays bounded for large catalogs.  Used
-    by the ranking/serving path (the equivalent of looping
-    ``compute_representation`` over the catalog in ``predict_ranks``,
-    template:1300-1315).
+    The sparse-dense matmul ``features @ table`` realised as blocked padded
+    gathers so memory stays bounded for large catalogs.  Used by the
+    ranking/serving path (the equivalent of looping ``compute_representation``
+    over the catalog in ``predict_ranks``, template:1300-1315).
     """
+    if isinstance(features, IdentityRows):
+        return table[: features.n_rows] * scale
+
     n = features.n_rows
     if n <= block:
         return batch_representation(
-            embeddings, biases, features, jnp.arange(n, dtype=jnp.int32), scale
+            table, features, jnp.arange(n, dtype=jnp.int32), scale
         )
 
     n_blocks = -(-n // block)
@@ -68,7 +79,7 @@ def full_representations(
     ids = jnp.arange(pad_n, dtype=jnp.int32) % n  # wrap padding rows (discarded)
 
     def body(_, blk_ids):
-        return None, batch_representation(embeddings, biases, features, blk_ids, scale)
+        return None, batch_representation(table, features, blk_ids, scale)
 
-    _, (reps, bs) = jax.lax.scan(body, None, ids.reshape(n_blocks, block))
-    return reps.reshape(pad_n, -1)[:n], bs.reshape(pad_n)[:n]
+    _, reps = jax.lax.scan(body, None, ids.reshape(n_blocks, block))
+    return reps.reshape(pad_n, -1)[:n]

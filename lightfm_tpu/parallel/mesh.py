@@ -66,6 +66,17 @@ def shard_state(state: ModelState, mesh: Mesh, table_partition: str = "rows") ->
         scores reduce over the model axis.
       - ``"replicated"``: tables copied to every device (data-parallel only).
     """
+    if table_partition == "components":
+        n_model = mesh.shape[MODEL_AXIS]
+        width = state.item_table.shape[1]
+        if width % n_model != 0:
+            raise ValueError(
+                "'components' table partitioning requires no_components + 1 "
+                f"(= {width}, embedding columns + fused bias column) to be "
+                f"divisible by the model-axis size {n_model}; pick a "
+                "compatible no_components or use 'rows'."
+            )
+
     def place(x):
         if x.ndim == 0:
             return jax.device_put(x, NamedSharding(mesh, P()))

@@ -54,6 +54,30 @@ class PaddedRows(NamedTuple):
         return self.idx.shape[1]
 
 
+class IdentityRows(NamedTuple):
+    """Marker for identity feature matrices (the default / pure-MF case).
+
+    Row i has exactly one feature, i, with weight 1 — the reference's
+    implicit-identity default (`lightfm/lightfm.py:318-326`).  Keeping this a
+    distinct pytree type lets compute paths skip the feature walk at trace
+    time; ``marker`` only carries the static row count in its shape.
+    """
+
+    marker: jax.Array  # int8 [n_rows]; contents unused
+
+    @property
+    def n_rows(self) -> int:
+        return self.marker.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.marker.shape[0]
+
+    @property
+    def max_nnz(self) -> int:
+        return 1
+
+
 class PaddedSortedRows(NamedTuple):
     """Per-row sorted indices with an out-of-range sentinel pad.
 
@@ -96,16 +120,9 @@ def pad_csr(csr, pad_multiple: int = 1, min_width: int = 1) -> PaddedRows:
     return PaddedRows(jnp.asarray(idx), jnp.asarray(wts), n_cols)
 
 
-def identity_rows(n: int) -> PaddedRows:
-    """The identity-features fast path: row i has a single feature i, weight 1.
-
-    Mirrors the reference default where feature matrices are implicit identity
-    CSRs (``lightfm/lightfm.py:318-326``) but costs a [B, 1] gather instead of
-    a sparse walk.
-    """
-    idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    wts = jnp.ones((n, 1), dtype=jnp.float32)
-    return PaddedRows(idx, wts, n)
+def identity_rows(n: int) -> IdentityRows:
+    """The identity-features fast path: row i has a single feature i, weight 1."""
+    return IdentityRows(jnp.zeros((n,), dtype=jnp.int8))
 
 
 def pad_csr_sorted(csr, pad_multiple: int = 1) -> PaddedSortedRows:

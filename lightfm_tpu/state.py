@@ -2,9 +2,14 @@
 
 The reference packs 12 mutable numpy arrays plus two lazy-regularisation scale
 accumulators into a Cython extension class that OpenMP threads race on
-(``lightfm/_lightfm_fast.pyx.template:185-259``).  Here the same state is an
-immutable JAX pytree threaded through jitted update steps; the scale
-accumulators become explicit float32 scalars in the pytree.
+(`lightfm/_lightfm_fast.pyx.template:185-259`).  Here the same state is an
+immutable JAX pytree threaded through jitted update steps.
+
+TPU layout note: biases are FUSED into the embedding tables as column ``D``
+(mirroring the reference's own representation layout, where the bias is the
+last slot of every latent representation, template:287-317).  This halves the
+gather/scatter count on the training hot path; the public API still exposes
+the reference's 12 separate arrays as views (see ``LightFM`` properties).
 """
 
 from __future__ import annotations
@@ -22,31 +27,27 @@ MAX_REG_SCALE = 1e6
 
 
 class ModelState(NamedTuple):
-    """All trainable state.  Mirrors `FastLightFM` (template:185-259) 1:1.
+    """All trainable state.
 
-    ``*_gradients`` are the adagrad/adadelta squared-gradient accumulators and
-    ``*_momentum`` the adadelta squared-update moving averages, kept for both
-    schedules so checkpoints are schedule-agnostic (as in the reference, where
-    all 12 arrays always exist; `lightfm/lightfm.py:281-312`).
+    ``*_table``: [n_features, D+1] — embedding columns 0..D-1, bias column D.
+    ``*_acc``: adagrad/adadelta squared-gradient accumulators (same shape).
+    ``*_mom``: adadelta squared-update moving averages.
+    Together these mirror `FastLightFM`'s 12 arrays (template:185-259); the
+    scale scalars are the lazy-L2 accumulators (template:213-214).
     """
 
-    item_embeddings: jax.Array  # [n_item_features, D]
-    item_embedding_gradients: jax.Array
-    item_embedding_momentum: jax.Array
-    item_biases: jax.Array  # [n_item_features]
-    item_bias_gradients: jax.Array
-    item_bias_momentum: jax.Array
-
-    user_embeddings: jax.Array  # [n_user_features, D]
-    user_embedding_gradients: jax.Array
-    user_embedding_momentum: jax.Array
-    user_biases: jax.Array  # [n_user_features]
-    user_bias_gradients: jax.Array
-    user_bias_momentum: jax.Array
-
-    # Lazy L2 scale accumulators (template:213-214, 253-255).
+    item_table: jax.Array
+    item_acc: jax.Array
+    item_mom: jax.Array
+    user_table: jax.Array
+    user_acc: jax.Array
+    user_mom: jax.Array
     item_scale: jax.Array  # f32 scalar
     user_scale: jax.Array  # f32 scalar
+
+    @property
+    def no_components(self) -> int:
+        return self.item_table.shape[1] - 1
 
 
 def init_state(
@@ -60,31 +61,27 @@ def init_state(
 
     Matches the reference init exactly (`lightfm/lightfm.py:281-312`):
     embeddings ~ (U[0,1) - 0.5)/no_components in float32, biases zero,
-    adagrad accumulators start at 1.  Uses the numpy RandomState so that
-    seeded runs are bit-identical across processes.
+    adagrad accumulators start at 1 (for biases too).  Uses the numpy
+    RandomState so that seeded runs are bit-identical across processes.
     """
-    item_emb = (
-        (random_state.rand(no_item_features, no_components) - 0.5) / no_components
-    ).astype(np.float32)
-    user_emb = (
-        (random_state.rand(no_user_features, no_components) - 0.5) / no_components
-    ).astype(np.float32)
+    D = no_components
 
+    def make_table(n):
+        emb = ((random_state.rand(n, D) - 0.5) / D).astype(np.float32)
+        return np.concatenate([emb, np.zeros((n, 1), np.float32)], axis=1)
+
+    # Reference init order: item embeddings first, then user (lightfm.py:287-306).
+    item = make_table(no_item_features)
+    user = make_table(no_user_features)
     grad_init = 1.0 if adagrad else 0.0
 
     return ModelState(
-        item_embeddings=jnp.asarray(item_emb),
-        item_embedding_gradients=jnp.full_like(item_emb, grad_init),
-        item_embedding_momentum=jnp.zeros_like(item_emb),
-        item_biases=jnp.zeros(no_item_features, dtype=jnp.float32),
-        item_bias_gradients=jnp.full((no_item_features,), grad_init, dtype=jnp.float32),
-        item_bias_momentum=jnp.zeros(no_item_features, dtype=jnp.float32),
-        user_embeddings=jnp.asarray(user_emb),
-        user_embedding_gradients=jnp.full_like(user_emb, grad_init),
-        user_embedding_momentum=jnp.zeros_like(user_emb),
-        user_biases=jnp.zeros(no_user_features, dtype=jnp.float32),
-        user_bias_gradients=jnp.full((no_user_features,), grad_init, dtype=jnp.float32),
-        user_bias_momentum=jnp.zeros(no_user_features, dtype=jnp.float32),
+        item_table=jnp.asarray(item),
+        item_acc=jnp.full(item.shape, grad_init, dtype=jnp.float32),
+        item_mom=jnp.zeros(item.shape, dtype=jnp.float32),
+        user_table=jnp.asarray(user),
+        user_acc=jnp.full(user.shape, grad_init, dtype=jnp.float32),
+        user_mom=jnp.zeros(user.shape, dtype=jnp.float32),
         item_scale=jnp.float32(1.0),
         user_scale=jnp.float32(1.0),
     )
@@ -97,13 +94,9 @@ def fold_scales(state: ModelState) -> ModelState:
     (`_lightfm_fast.pyx.template:652-675`), run at the end of every epoch and
     whenever a scale exceeds MAX_REG_SCALE.  Functional: returns new state.
     """
-    inv_item = 1.0 / state.item_scale
-    inv_user = 1.0 / state.user_scale
     return state._replace(
-        item_embeddings=state.item_embeddings * inv_item,
-        item_biases=state.item_biases * inv_item,
-        user_embeddings=state.user_embeddings * inv_user,
-        user_biases=state.user_biases * inv_user,
+        item_table=state.item_table * (1.0 / state.item_scale),
+        user_table=state.user_table * (1.0 / state.user_scale),
         item_scale=jnp.float32(1.0),
         user_scale=jnp.float32(1.0),
     )

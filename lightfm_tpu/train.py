@@ -2,8 +2,9 @@
 
 Replaces the reference's ``_run_epoch`` → Python→C boundary → OpenMP fan-out
 (`lightfm/lightfm.py:668-759`) with a single compiled program: a device-side
-shuffle followed by ``lax.scan`` over minibatches.  One compile per
-(shape, hyperparameter) combination; subsequent epochs reuse the executable.
+shuffle followed by ``lax.scan`` over minibatches.  Whole multi-epoch fits
+compile to ONE dispatch (``run_epochs`` scans over per-epoch PRNG seeds), so
+host-device round-trips don't gate throughput.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 
 from lightfm_tpu.config import Hyperparams
 from lightfm_tpu.losses import LOSS_STEPS, Batch
-from lightfm_tpu.sparse import PaddedRows, PaddedSortedRows
+from lightfm_tpu.sparse import PaddedSortedRows
 from lightfm_tpu.state import ModelState, fold_scales, maybe_fold_scales
 
 
@@ -30,8 +31,8 @@ class TrainData(NamedTuple):
     y: jax.Array  # f32 [n_pad]
     weight: jax.Array  # f32 [n_pad]
     valid: jax.Array  # bool [n_pad]
-    user_feats: PaddedRows
-    item_feats: PaddedRows
+    user_feats: object  # IdentityRows | PaddedRows
+    item_feats: object
     # Sorted per-user positives for negative-sample rejection (ranking losses).
     positives: Optional[PaddedSortedRows]
     # Item column of every training interaction: BPR's empirical negative
@@ -55,8 +56,8 @@ def choose_batch_size(n_examples: int, requested: Optional[int]) -> int:
 def build_train_data(
     interactions_coo,
     sample_weight_data: np.ndarray,
-    user_feats: PaddedRows,
-    item_feats: PaddedRows,
+    user_feats,
+    item_feats,
     hp: Hyperparams,
     batch_size: int,
 ) -> TrainData:
@@ -99,15 +100,7 @@ def build_train_data(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
-def run_epoch(
-    state: ModelState,
-    data: TrainData,
-    key: jax.Array,
-    hp: Hyperparams,
-    batch_size: int,
-    mesh=None,
-) -> ModelState:
+def _epoch(state, data, key, hp, batch_size, mesh):
     """One epoch: device-side shuffle + scan over minibatches.
 
     The global per-epoch permutation mirrors `lightfm/lightfm.py:689-690`.
@@ -118,8 +111,21 @@ def run_epoch(
     n_pad = data.user_ids.shape[0]
     n_batches = n_pad // batch_size
     kperm, kbatch = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n_pad).reshape(n_batches, batch_size)
+    perm = jax.random.permutation(kperm, n_pad)
     keys = jax.random.split(kbatch, n_batches)
+
+    # Shuffle-gather ONCE per epoch; the batch scan then slices contiguous
+    # memory for free instead of paying five random gathers per step.
+    def shuffle(a):
+        return a[perm].reshape(n_batches, batch_size)
+
+    shuffled = Batch(
+        user_ids=shuffle(data.user_ids),
+        item_ids=shuffle(data.item_ids),
+        y=shuffle(data.y),
+        weight=shuffle(data.weight),
+        valid=shuffle(data.valid),
+    )
 
     step = LOSS_STEPS[hp.loss]
     lazy_reg = hp.item_alpha != 0.0 or hp.user_alpha != 0.0
@@ -127,19 +133,13 @@ def run_epoch(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        batch_sharding = NamedSharding(mesh, P("data"))
+        batch_sharding = NamedSharding(mesh, P(None, "data"))
+        shuffled = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), shuffled
+        )
 
     def body(state, xs):
-        rows, bkey = xs
-        if mesh is not None:
-            rows = jax.lax.with_sharding_constraint(rows, batch_sharding)
-        batch = Batch(
-            user_ids=data.user_ids[rows],
-            item_ids=data.item_ids[rows],
-            y=data.y[rows],
-            weight=data.weight[rows],
-            valid=data.valid[rows],
-        )
+        batch, bkey = xs
         state = step(
             state, batch, data.user_feats, data.item_feats,
             data.positives, data.train_items, hp, bkey,
@@ -149,8 +149,38 @@ def run_epoch(
             state = maybe_fold_scales(state)
         return state, None
 
-    state, _ = jax.lax.scan(body, state, (perm, keys))
+    state, _ = jax.lax.scan(body, state, (shuffled, keys))
     if lazy_reg:
         # Always fold at epoch end (template:779-781, 910-912).
         state = fold_scales(state)
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
+def run_epoch(
+    state: ModelState,
+    data: TrainData,
+    key: jax.Array,
+    hp: Hyperparams,
+    batch_size: int,
+    mesh=None,
+) -> ModelState:
+    return _epoch(state, data, key, hp, batch_size, mesh)
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
+def run_epochs(
+    state: ModelState,
+    data: TrainData,
+    seeds: jax.Array,  # uint32 [n_epochs], one per epoch from the model RNG
+    hp: Hyperparams,
+    batch_size: int,
+    mesh=None,
+) -> ModelState:
+    """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
+
+    def body(state, seed):
+        return _epoch(state, data, jax.random.key(seed), hp, batch_size, mesh), None
+
+    state, _ = jax.lax.scan(body, state, seeds)
     return state

@@ -34,8 +34,15 @@ def _small_data():
 def test_sharded_fit_trains(partition):
     mesh = make_mesh(n_data=4, n_model=2)
     train = _small_data()
+    # 'components' splits the fused [emb | bias] column axis: width D+1 must
+    # divide by the model-axis size (documented constraint).
+    no_components = 15 if partition == "components" else 10
     model = LightFM(
-        loss="warp", random_state=10, mesh=mesh, table_partition=partition
+        loss="warp",
+        no_components=no_components,
+        random_state=10,
+        mesh=mesh,
+        table_partition=partition,
     )
     model.fit(train, epochs=5)
 
@@ -68,7 +75,5 @@ def test_state_sharding_layouts():
     state = init_state(8, 256, 128, np.random.RandomState(0), adagrad=True)
     sharded = shard_state(state, mesh, "rows")
     # Row-sharded tables split the feature axis over the model axis.
-    shard_shape = sharded.item_embeddings.sharding.shard_shape(
-        sharded.item_embeddings.shape
-    )
+    shard_shape = sharded.item_table.sharding.shard_shape(sharded.item_table.shape)
     assert shard_shape[0] == 256 // 2
