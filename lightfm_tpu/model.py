@@ -555,6 +555,81 @@ class LightFM:
             shape=test_interactions.shape,
         )
 
+    def recommend(
+        self,
+        user_ids,
+        k=10,
+        item_features=None,
+        user_features=None,
+        train_interactions=None,
+        n_items=None,
+        mode="exact",
+        rerank_mult=4,
+    ):
+        """Top-k item recommendations for a batch of users.
+
+        The serving path the reference delegates to external ANN libraries
+        (`examples/ann/annoy_nsmlib_example.ipynb`); here it's exact blocked
+        MXU scoring + ``lax.top_k`` (``mode="exact"``), or two-stage
+        int8-coarse + f32-rerank ANN-style scoring (``mode="compressed"``).
+        ``train_interactions`` (any scipy sparse) excludes known positives.
+
+        Returns ``(scores [B, k], item_ids [B, k])`` numpy arrays.
+        """
+        self._check_initialized()
+        from lightfm_tpu import retrieval
+
+        user_ids = np.atleast_1d(np.asarray(user_ids, dtype=np.int32))
+        if n_items is None:
+            if item_features is not None:
+                n_items = item_features.shape[0]
+            elif train_interactions is not None:
+                n_items = train_interactions.shape[1]
+            else:
+                n_items = self._state.item_table.shape[0]
+        n_users = int(user_ids.max()) + 1 if len(user_ids) else 1
+
+        (user_features, item_features) = self._construct_feature_matrices(
+            n_users, n_items, user_features, item_features
+        )
+        user_feats = self._pad_features(user_features)
+        item_feats = self._pad_features(item_features)
+
+        exclude_idx = None
+        if train_interactions is not None:
+            tr = train_interactions.tocsr()
+            lengths = np.diff(tr.indptr)
+            sel_lengths = lengths[user_ids]
+            P = max(1, int(sel_lengths.max()) if len(sel_lengths) else 1)
+            # Sentinel > any padded catalog width so masked scatters drop.
+            exclude = np.full((len(user_ids), P), np.iinfo(np.int32).max, np.int32)
+            for i, u in enumerate(user_ids):
+                row = tr.indices[tr.indptr[u] : tr.indptr[u + 1]]
+                exclude[i, : len(row)] = row
+            exclude_idx = jnp.asarray(exclude)
+
+        uid = jnp.asarray(user_ids)
+        if mode == "compressed":
+            index = retrieval.build_compressed_index(self._state, item_feats, n_items)
+            scores, ids = retrieval.top_k_compressed(
+                self._state, user_feats, index, uid, k,
+                exclude_idx=exclude_idx, rerank_mult=rerank_mult,
+            )
+        elif mode == "exact":
+            if self.mesh is not None:
+                scores, ids = retrieval.top_k_sharded(
+                    self._state, user_feats, item_feats, uid, k, n_items,
+                    self.mesh, exclude_idx=exclude_idx,
+                )
+            else:
+                scores, ids = retrieval.top_k(
+                    self._state, user_feats, item_feats, uid, k, n_items,
+                    exclude_idx=exclude_idx,
+                )
+        else:
+            raise ValueError(f"Unknown retrieval mode: {mode!r}")
+        return np.asarray(scores), np.asarray(ids)
+
     # ------------------------------------------------------------------
     # Representations / params (lightfm.py:991-1107)
     # ------------------------------------------------------------------

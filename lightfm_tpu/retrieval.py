@@ -1,0 +1,268 @@
+"""Candidate retrieval: batched top-k recommendation over the full catalog.
+
+The reference has no native retrieval path — its ANN example exports item
+embeddings to Annoy/nmslib on the CPU and claims <50 ms per query
+(`examples/ann/annoy_nsmlib_example.ipynb`).  On TPU the idiomatic design is
+the opposite of an ANN tree: the catalog scoring IS a dense [B, D+2] x
+[D+2, I] matmul that the MXU executes at speed-of-light, so exact top-k over
+millions of items is cheap and batched.  Three paths:
+
+- :func:`top_k`: exact blocked scoring + ``lax.top_k`` (single device).
+- :func:`top_k_sharded`: catalog sharded over the mesh model axis via
+  ``shard_map``; each shard computes a local top-k over its items and the
+  [n_shards * k] candidates are merged with a second top-k after an
+  all-gather over ICI (SURVEY §5 "item-sharded scoring with all-gathered
+  per-shard top-k").
+- :class:`CompressedIndex`: ANN-style two-stage scoring — int8-quantized
+  item embeddings give a coarse score on the MXU at 4x the bandwidth, the
+  top ``rerank_mult * k`` survivors are re-scored exactly in f32.  This is
+  the TPU-native equivalent of the reference's Annoy index (approximate,
+  trades exactness for throughput), without leaving the device.
+
+Train-positive exclusion matches ``predict_ranks``'s masking semantics
+(`_lightfm_fast.pyx.template:1303`): excluded items score -inf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lightfm_tpu.ops.ranking import _augment_items, _augment_users, _round_up
+from lightfm_tpu.ops.representation import batch_representation, full_representations
+from lightfm_tpu.sparse import IdentityRows, PaddedRows
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def catalog_representations(state, item_feats, n_items: int) -> jax.Array:
+    """Augmented [n_items, D+2] item representations: [emb, bias, 1]."""
+    if isinstance(item_feats, IdentityRows):
+        rep = state.item_table[:n_items] * state.item_scale
+    else:
+        trimmed = PaddedRows(
+            item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
+        )
+        rep = full_representations(state.item_table, trimmed, state.item_scale)
+    return _augment_items(rep)
+
+
+def _pad_catalog(item_aug: jax.Array, n_items: int, multiple: int) -> jax.Array:
+    """Pad the catalog so padded items score -inf (bias column)."""
+    i_pad = _round_up(n_items, multiple)
+    pad_rows = i_pad - n_items
+    if pad_rows:
+        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
+        pad_block = pad_block.at[:, -2].set(-np.inf)
+        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
+    return item_aug
+
+
+def _mask_exclusions(scores: jax.Array, exclude_idx: Optional[jax.Array], i_pad: int):
+    """Scatter -inf into per-user excluded item columns (sentinel = i_pad)."""
+    if exclude_idx is None:
+        return scores
+    rows = jnp.broadcast_to(
+        jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None], exclude_idx.shape
+    )
+    return scores.at[rows, jnp.minimum(exclude_idx, i_pad)].set(_NEG_INF, mode="drop")
+
+
+@partial(jax.jit, static_argnames=("k", "n_items"))
+def _top_k_dense(
+    state,
+    user_feats,
+    item_aug: jax.Array,  # [I_pad, D+2] padded catalog
+    user_ids: jax.Array,  # int32 [B]
+    exclude_idx: Optional[jax.Array],  # int32 [B, P] or None
+    k: int,
+    n_items: int,
+):
+    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_aug = _augment_users(u_rep)  # [B, D+2]
+    scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
+    scores = _mask_exclusions(scores, exclude_idx, item_aug.shape[0])
+    return jax.lax.top_k(scores, k)
+
+
+def top_k(
+    state,
+    user_feats,
+    item_feats,
+    user_ids: jax.Array,
+    k: int,
+    n_items: int,
+    exclude_idx: Optional[jax.Array] = None,
+):
+    """Exact top-k items for a batch of users.
+
+    Returns ``(scores [B, k], item_ids [B, k])``.  ``exclude_idx`` is a
+    sentinel-padded [B, P] int32 array of per-user items to exclude (e.g.
+    train positives), sentinel >= n_items.
+    """
+    item_aug = _pad_catalog(
+        catalog_representations(state, item_feats, n_items), n_items, 128
+    )
+    return _top_k_dense(state, user_feats, item_aug, user_ids, exclude_idx, k, n_items)
+
+
+# ---------------------------------------------------------------------------
+# Sharded retrieval: catalog split over the mesh model axis.
+# ---------------------------------------------------------------------------
+
+
+def top_k_sharded(
+    state,
+    user_feats,
+    item_feats,
+    user_ids: jax.Array,
+    k: int,
+    n_items: int,
+    mesh,
+    exclude_idx: Optional[jax.Array] = None,
+):
+    """Item-sharded exact top-k over a device mesh.
+
+    Each model-axis shard scores its slice of the catalog and takes a local
+    top-k; the per-shard candidates are all-gathered over ICI and merged with
+    a second top-k.  Communication is O(shards * k), not O(n_items).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lightfm_tpu.parallel.mesh import MODEL_AXIS
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    item_aug = _pad_catalog(
+        catalog_representations(state, item_feats, n_items), n_items, 128 * n_shards
+    )
+    i_pad = item_aug.shape[0]
+    item_aug = jax.device_put(item_aug, NamedSharding(mesh, P(MODEL_AXIS, None)))
+
+    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_aug = _augment_users(u_rep)
+
+    if exclude_idx is None:
+        exclude_idx = jnp.full((user_ids.shape[0], 1), i_pad, dtype=jnp.int32)
+
+    def shard_fn(items_local, u_aug_rep, excl):
+        # items_local: [i_pad / n_shards, D+2]; u_aug_rep replicated.
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        blk = items_local.shape[0]
+        start = shard * blk
+        scores = jnp.dot(u_aug_rep, items_local.T, preferred_element_type=jnp.float32)
+        local_excl = jnp.where(
+            (excl >= start) & (excl < start + blk), excl - start, blk
+        )
+        rows = jnp.broadcast_to(
+            jnp.arange(scores.shape[0], dtype=jnp.int32)[:, None], local_excl.shape
+        )
+        scores = scores.at[rows, jnp.minimum(local_excl, blk)].set(
+            _NEG_INF, mode="drop"
+        )
+        s, i = jax.lax.top_k(scores, k)  # local candidates
+        i = i + start
+        # Merge across shards: all-gather the candidate lists over ICI.
+        s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)  # [B, S*k]
+        i_all = jax.lax.all_gather(i, MODEL_AXIS, axis=1, tiled=True)
+        sg, j = jax.lax.top_k(s_all, k)
+        ig = jnp.take_along_axis(i_all, j, axis=1)
+        return sg, ig
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(item_aug, u_aug, exclude_idx)
+
+
+# ---------------------------------------------------------------------------
+# ANN-style compressed two-stage retrieval.
+# ---------------------------------------------------------------------------
+
+
+class CompressedIndex(NamedTuple):
+    """Int8-quantized catalog for coarse scoring + exact f32 rerank.
+
+    The TPU-native analogue of the reference's Annoy export
+    (`examples/ann/annoy_nsmlib_example.ipynb`): approximate first-stage
+    scoring, but on the MXU — int8 reads move 4x fewer HBM bytes than f32, so
+    stage one runs at ~4x the bandwidth-bound throughput; exactness is
+    recovered by re-scoring ``rerank_mult * k`` survivors in f32.
+    """
+
+    q_items: jax.Array  # int8 [I_pad, D+2]
+    scales: jax.Array  # f32 [I_pad, 1] per-item dequant scale
+    item_aug: jax.Array  # f32 [I_pad, D+2] exact representations
+    n_items: int
+
+
+def build_compressed_index(state, item_feats, n_items: int) -> CompressedIndex:
+    item_aug = _pad_catalog(
+        catalog_representations(state, item_feats, n_items), n_items, 128
+    )
+    # Quantize a FINITE view: the -inf pad-bias sentinel would drive the
+    # per-item scale to inf (NaN quantized rows); pad columns are instead
+    # masked to -inf in the coarse-score stage by index.
+    finite = jnp.where(jnp.isfinite(item_aug), item_aug, 0.0)
+    amax = jnp.maximum(jnp.max(jnp.abs(finite), axis=1, keepdims=True), 1e-12)
+    scales = amax / 127.0
+    q = jnp.clip(jnp.round(finite / scales), -127, 127).astype(jnp.int8)
+    return CompressedIndex(q, scales, item_aug, n_items)
+
+
+@partial(jax.jit, static_argnames=("k", "rerank_mult"))
+def _top_k_compressed(
+    state,
+    user_feats,
+    index: CompressedIndex,
+    user_ids: jax.Array,
+    exclude_idx: Optional[jax.Array],
+    k: int,
+    rerank_mult: int,
+):
+    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_aug = _augment_users(u_rep)  # [B, D+2]
+    i_pad = index.q_items.shape[0]
+
+    # Stage 1: coarse scores against the int8 catalog.  The per-item scale is
+    # folded in after the matmul; accumulate in f32 on the MXU.
+    coarse = jnp.dot(
+        u_aug, index.q_items.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    ) * index.scales[:, 0][None, :]
+    # Pad columns (quantized as zeros) must never win the coarse stage.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, i_pad), 1)
+    coarse = jnp.where(col < index.n_items, coarse, _NEG_INF)
+    coarse = _mask_exclusions(coarse, exclude_idx, i_pad)
+    c = min(rerank_mult * k, i_pad)
+    _, cand = jax.lax.top_k(coarse, c)  # [B, c]
+
+    # Stage 2: exact rerank of survivors.
+    cand_rep = index.item_aug[cand]  # [B, c, D+2]
+    exact = jnp.einsum("bd,bcd->bc", u_aug, cand_rep)
+    exact = jnp.where(cand < index.n_items, exact, _NEG_INF)
+    s, j = jax.lax.top_k(exact, k)
+    return s, jnp.take_along_axis(cand, j, axis=1)
+
+
+def top_k_compressed(
+    state,
+    user_feats,
+    index: CompressedIndex,
+    user_ids: jax.Array,
+    k: int,
+    exclude_idx: Optional[jax.Array] = None,
+    rerank_mult: int = 4,
+):
+    """Two-stage ANN-style top-k: int8 coarse scoring + exact f32 rerank."""
+    return _top_k_compressed(
+        state, user_feats, index, user_ids, exclude_idx, k, rerank_mult
+    )

@@ -1,0 +1,126 @@
+"""Retrieval-path tests: exact, sharded, and compressed top-k.
+
+The reference offloads retrieval to external ANN libraries (its
+`examples/ann/annoy_nsmlib_example.ipynb`); these tests pin our on-device
+equivalents against brute-force scoring via ``predict``.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+from lightfm_tpu import LightFM
+from lightfm_tpu.datasets import generate_synthetic
+
+SEED = 10
+
+_data = generate_synthetic(n_users=128, n_items=512, seed=3)
+_train = _data["train"]
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = LightFM(loss="warp", no_components=16, random_state=SEED)
+    m.fit(_train, epochs=3)
+    return m
+
+
+def _brute_force_topk(model, user_ids, k, n_items, exclude_csr=None):
+    out_scores, out_ids = [], []
+    items = np.arange(n_items, dtype=np.int32)
+    for u in user_ids:
+        scores = model.predict(int(u), items)
+        if exclude_csr is not None:
+            row = exclude_csr.indices[exclude_csr.indptr[u] : exclude_csr.indptr[u + 1]]
+            scores[row] = -np.inf
+        top = np.argsort(-scores)[:k]
+        out_ids.append(top)
+        out_scores.append(scores[top])
+    return np.array(out_scores), np.array(out_ids)
+
+
+def test_exact_topk_matches_brute_force(model):
+    user_ids = np.arange(16, dtype=np.int32)
+    k = 10
+    scores, ids = model.recommend(user_ids, k=k, n_items=512)
+    bf_scores, _ = _brute_force_topk(model, user_ids, k, 512)
+    # Scores must match to float tolerance; ids may differ only on exact ties.
+    assert np.allclose(np.sort(scores, axis=1), np.sort(bf_scores, axis=1), atol=1e-4)
+    # Returned ids must actually achieve the returned scores.
+    pred = np.array(
+        [model.predict(int(u), ids[i].astype(np.int32)) for i, u in enumerate(user_ids)]
+    )
+    assert np.allclose(pred, scores, atol=1e-4)
+
+
+def test_topk_excludes_train_positives(model):
+    user_ids = np.arange(32, dtype=np.int32)
+    train_csr = _train.tocsr()
+    _, ids = model.recommend(
+        user_ids, k=20, train_interactions=train_csr, n_items=512
+    )
+    for i, u in enumerate(user_ids):
+        positives = set(
+            train_csr.indices[train_csr.indptr[u] : train_csr.indptr[u + 1]]
+        )
+        assert not positives.intersection(ids[i].tolist())
+
+
+def test_compressed_topk_high_recall(model):
+    user_ids = np.arange(64, dtype=np.int32)
+    k = 10
+    _, exact_ids = model.recommend(user_ids, k=k, n_items=512)
+    _, comp_ids = model.recommend(
+        user_ids, k=k, n_items=512, mode="compressed", rerank_mult=4
+    )
+    recall = np.mean(
+        [
+            len(set(exact_ids[i]).intersection(comp_ids[i])) / k
+            for i in range(len(user_ids))
+        ]
+    )
+    assert recall > 0.9
+
+
+def test_compressed_topk_with_catalog_padding(model):
+    # Regression: catalogs not multiple of 128 pad with -inf bias; the int8
+    # quantizer must not see the sentinel (inf scale -> NaN rows -> recall 0).
+    user_ids = np.arange(32, dtype=np.int32)
+    k = 10
+    _, exact_ids = model.recommend(user_ids, k=k, n_items=500)
+    _, comp_ids = model.recommend(user_ids, k=k, n_items=500, mode="compressed")
+    assert np.all(comp_ids < 500)
+    recall = np.mean(
+        [
+            len(set(exact_ids[i]).intersection(comp_ids[i])) / k
+            for i in range(len(user_ids))
+        ]
+    )
+    assert recall > 0.9
+
+
+def test_sharded_topk_matches_unsharded(model):
+    import jax
+    from lightfm_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=jax.devices()[:8])
+    user_ids = np.arange(16, dtype=np.int32)
+    k = 10
+    scores, ids = model.recommend(user_ids, k=k, n_items=512)
+    model.mesh = mesh
+    try:
+        s_scores, s_ids = model.recommend(user_ids, k=k, n_items=512)
+    finally:
+        model.mesh = None
+    assert np.allclose(np.sort(scores, 1), np.sort(s_scores, 1), atol=1e-4)
+
+
+def test_recommend_with_features(model):
+    # Hybrid path: genre features only (cold-start style).
+    feats = _data["item_features"]
+    m = LightFM(loss="warp", no_components=8, random_state=SEED)
+    m.fit(_train, item_features=feats, epochs=2)
+    scores, ids = m.recommend(np.arange(4), k=5, item_features=feats)
+    assert ids.shape == (4, 5)
+    assert np.all(ids < feats.shape[0])
+    assert np.all(np.isfinite(scores))
