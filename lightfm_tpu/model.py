@@ -54,8 +54,10 @@ _FIELD_MAP = {
 
 @jax.jit
 def _predict_pairs_jit(state: ModelState, user_feats, item_feats, user_ids, item_ids):
-    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
-    i_rep = batch_representation(state.item_table, item_feats, item_ids, state.item_scale)
+    # Lazy-reg scales are folded into the tables at every epoch end, so
+    # prediction skips the scale multiply.
+    u_rep = batch_representation(state.user_table, user_feats, user_ids)
+    i_rep = batch_representation(state.item_table, item_feats, item_ids)
     return score_pairs(u_rep, i_rep)
 
 
@@ -169,8 +171,8 @@ class LightFM:
             return None
         attr, kind = _FIELD_MAP[name]
         arr = np.asarray(getattr(self._state, attr))
-        D = arr.shape[1] - 1
-        return arr[:, :D] if kind == "emb" else arr[:, D]
+        # Layout: [emb cols 0..D-1 | zero pad | bias col W-1] (lightfm_tpu.state).
+        return arr[:, : self.no_components] if kind == "emb" else arr[:, -1]
 
     def _set_field(self, name, value):
         if value is None:
@@ -179,12 +181,11 @@ class LightFM:
             raise ValueError("Cannot set model state before the model is fitted.")
         attr, kind = _FIELD_MAP[name]
         table = getattr(self._state, attr)
-        D = table.shape[1] - 1
         value = jnp.asarray(np.asarray(value, dtype=np.float32))
         if kind == "emb":
-            table = table.at[:, :D].set(value)
+            table = table.at[:, : self.no_components].set(value)
         else:
-            table = table.at[:, D].set(value)
+            table = table.at[:, -1].set(value)
         self._state = self._state._replace(**{attr: table})
 
     # ------------------------------------------------------------------
@@ -251,7 +252,9 @@ class LightFM:
     def _pad_features(cls, csr) -> PaddedRows:
         if cls._is_identity(csr):
             return identity_rows(csr.shape[0])
-        return pad_csr(csr, pad_multiple=4)
+        # Multiple-of-8 row widths keep the per-row index/weight gathers on
+        # the fast TPU lowering path (see lightfm_tpu.state.table_width).
+        return pad_csr(csr, pad_multiple=8)
 
     def _process_sample_weight(self, interactions, sample_weight):
         if sample_weight is not None:

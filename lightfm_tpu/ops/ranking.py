@@ -63,13 +63,15 @@ def _augment_items(i_rep: jax.Array) -> jax.Array:
 def _catalog_representations(state, item_feats, n_items: int):
     """Augmented representations for catalog rows [0, n_items) (the test
     matrix's column count, template:1301)."""
+    # Lazy-reg scales are folded into the tables at every epoch end
+    # (train._epoch), so post-fit reads skip the scale multiply entirely.
     if isinstance(item_feats, IdentityRows):
-        rep = state.item_table[:n_items] * state.item_scale
+        rep = state.item_table[:n_items]
     else:
         trimmed = PaddedRows(
             item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
         )
-        rep = full_representations(state.item_table, trimmed, state.item_scale)
+        rep = full_representations(state.item_table, trimmed)
     return _augment_items(rep)
 
 
@@ -99,9 +101,7 @@ def _ranks_flat(
 
     def ublock_body(_, xs):
         u_ids, t_idx, t_valid, tr_idx = xs
-        u_rep = batch_representation(
-            state.user_table, user_feats, u_ids, state.user_scale
-        )
+        u_rep = batch_representation(state.user_table, user_feats, u_ids)
         u_aug = _augment_users(u_rep)  # [UB, D+2]
         scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
         rows = jnp.broadcast_to(
@@ -175,9 +175,7 @@ def _ranks_blocked(
 
     def ublock_body(_, xs):
         u_ids, t_idx, t_valid, tr_idx = xs
-        u_rep = batch_representation(
-            state.user_table, user_feats, u_ids, state.user_scale
-        )
+        u_rep = batch_representation(state.user_table, user_feats, u_ids)
         u_aug = _augment_users(u_rep)
         rows = jnp.broadcast_to(
             jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape

@@ -20,35 +20,61 @@ from lightfm_tpu.sparse import IdentityRows, PaddedRows
 
 
 def batch_representation(
-    table: jax.Array,  # [n_features, D+1]
+    table: jax.Array,  # [n_features, W]
     features,
     row_ids: jax.Array,  # int32 [...]
-    scale: jax.Array | float = 1.0,
+    scale: jax.Array | None = None,
 ) -> jax.Array:
-    """Representations for a batch of rows: ``[..., D+1]`` incl. bias slot.
+    """Representations for a batch of rows: ``[..., W]`` incl. bias slot.
 
     Identity features (the default / pure-MF case, `lightfm/lightfm.py:318-326`)
     skip the feature walk entirely: the representation IS the table row.
     Padding slots of general features have weight 0 and contribute nothing.
+
+    ``scale`` is the lazy-regularisation accumulator; pass ``None`` (the
+    static fast path) whenever it is known to be exactly 1 — i.e. alpha == 0,
+    or outside training where scales are folded at every epoch end.  A traced
+    scale of 1.0 is NOT free: the multiply forces a full copy of the gathered
+    rows (~15% of a WARP epoch, measured on v5e).
     """
     if isinstance(features, IdentityRows):
-        return table[row_ids] * scale
+        # Direct multi-dim gather: with the table width a multiple of 8
+        # (state.table_width) this is XLA:TPU's fast path; flattening to 1-D
+        # and reshaping back forces a layout copy of the whole result (the
+        # (…, K, W) minor-dims retile), measured ~600x slower standalone.
+        rows = table[row_ids]
+        if scale is not None:
+            rows = rows * scale
+        return rows
     idx = features.idx[row_ids]  # [..., P]
-    wts = features.wts[row_ids] * scale  # [..., P]
-    emb = table[idx]  # [..., P, D+1]
+    wts = features.wts[row_ids]  # [..., P]
+    if scale is not None:
+        wts = wts * scale
+    emb = table[idx]  # [..., P, W]
     return jnp.einsum("...p,...pd->...d", wts, emb)
+
+
+def with_unit_bias(user_rep: jax.Array) -> jax.Array:
+    """Replace the bias slot with 1 so a FULL-width dot against an item
+    representation yields ``dot(emb, emb) + item_bias`` directly.
+
+    Avoids slicing the (large) item side's minor dimension — a strided
+    lane-slice on TPU materialises a copy of the whole operand.
+    """
+    return jnp.concatenate(
+        [user_rep[..., :-1], jnp.ones_like(user_rep[..., -1:])], axis=-1
+    )
 
 
 def score_pairs(user_rep: jax.Array, item_rep: jax.Array) -> jax.Array:
     """dot(user_emb, item_emb) + user_bias + item_bias (template:320-334).
 
-    Inputs are [..., D+1] representations with the bias in the last slot.
+    Inputs are [..., W] representations with the bias in the last slot
+    (zero-padding columns contribute nothing).
     """
-    d = user_rep.shape[-1] - 1
     return (
-        jnp.einsum("...d,...d->...", user_rep[..., :d], item_rep[..., :d])
-        + user_rep[..., d]
-        + item_rep[..., d]
+        jnp.einsum("...d,...d->...", with_unit_bias(user_rep), item_rep)
+        + user_rep[..., -1]
     )
 
 

@@ -71,10 +71,11 @@ def shard_state(state: ModelState, mesh: Mesh, table_partition: str = "rows") ->
         width = state.item_table.shape[1]
         if width % n_model != 0:
             raise ValueError(
-                "'components' table partitioning requires no_components + 1 "
-                f"(= {width}, embedding columns + fused bias column) to be "
-                f"divisible by the model-axis size {n_model}; pick a "
-                "compatible no_components or use 'rows'."
+                "'components' table partitioning requires the fused table "
+                f"width (= {width}: embedding columns + zero pad + bias "
+                f"column; see lightfm_tpu.state.table_width) to be divisible "
+                f"by the model-axis size {n_model}; pick a compatible "
+                "no_components or use 'rows'."
             )
 
     def place(x):

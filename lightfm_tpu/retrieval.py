@@ -42,13 +42,15 @@ _NEG_INF = jnp.float32(-jnp.inf)
 
 def catalog_representations(state, item_feats, n_items: int) -> jax.Array:
     """Augmented [n_items, D+2] item representations: [emb, bias, 1]."""
+    # Lazy-reg scales are folded into the tables at every epoch end, so the
+    # serving path reads raw table rows.
     if isinstance(item_feats, IdentityRows):
-        rep = state.item_table[:n_items] * state.item_scale
+        rep = state.item_table[:n_items]
     else:
         trimmed = PaddedRows(
             item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
         )
-        rep = full_representations(state.item_table, trimmed, state.item_scale)
+        rep = full_representations(state.item_table, trimmed)
     return _augment_items(rep)
 
 
@@ -83,7 +85,7 @@ def _top_k_dense(
     k: int,
     n_items: int,
 ):
-    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)  # [B, D+2]
     scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
     scores = _mask_exclusions(scores, exclude_idx, item_aug.shape[0])
@@ -144,7 +146,7 @@ def top_k_sharded(
     i_pad = item_aug.shape[0]
     item_aug = jax.device_put(item_aug, NamedSharding(mesh, P(MODEL_AXIS, None)))
 
-    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)
 
     if exclude_idx is None:
@@ -229,7 +231,7 @@ def _top_k_compressed(
     k: int,
     rerank_mult: int,
 ):
-    u_rep = batch_representation(state.user_table, user_feats, user_ids, state.user_scale)
+    u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)  # [B, D+2]
     i_pad = index.q_items.shape[0]
 

@@ -147,18 +147,29 @@ def pad_csr_sorted(csr, pad_multiple: int = 1) -> PaddedSortedRows:
 
 
 def in_positives(rows: PaddedSortedRows, row_ids: jax.Array, col_ids: jax.Array) -> jax.Array:
-    """Vectorised membership test: is ``col_ids[...]`` in row ``row_ids[...]``?
+    """Vectorised membership test: is ``col_ids[b, ...]`` in row ``row_ids[b]``?
 
     TPU-native replacement for the reference's per-query libc ``bsearch``
     (``_lightfm_fast.pyx.template:270-284``).  For padded row widths the VPU
     prefers a dense broadcast-compare over a batched binary search (measured
     ~100x faster on v5e for typical widths); sentinel padding never matches a
-    valid column id.  ``row_ids`` and ``col_ids`` must be broadcastable;
-    returns a bool array of the broadcast shape.
+    valid column id.
+
+    ``row_ids`` is [B]; ``col_ids`` is [B] or [B, K].  Each row's index list
+    is gathered ONCE per batch element and broadcast against all K queries —
+    gathering it per query measured ~11x slower.  Returns bool of
+    ``col_ids``'s shape.
     """
-    row_ids, col_ids = jnp.broadcast_arrays(row_ids, col_ids)
-    flat_rows = row_ids.reshape(-1)
-    flat_cols = col_ids.reshape(-1)
-    table = rows.idx[flat_rows]  # [M, width]
-    found = (table == flat_cols[:, None]).any(axis=-1)
-    return found.reshape(row_ids.shape)
+    table = rows.idx[row_ids]  # [B, width]
+    if col_ids.ndim == row_ids.ndim:
+        return (table == col_ids[..., None]).any(axis=-1)
+    return (table[..., None, :] == col_ids[..., None]).any(axis=-1)
+
+
+def in_positives_slots(
+    rows: PaddedSortedRows, row_ids: jax.Array, col_ids: jax.Array
+) -> jax.Array:
+    """Slot-major variant of :func:`in_positives`: ``col_ids`` is [K, B]
+    (candidate slot k of batch row b), returns bool [K, B]."""
+    table = rows.idx[row_ids]  # [B, width]
+    return (table[None, :, :] == col_ids[:, :, None]).any(axis=-1)

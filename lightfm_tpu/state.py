@@ -5,11 +5,17 @@ accumulators into a Cython extension class that OpenMP threads race on
 (`lightfm/_lightfm_fast.pyx.template:185-259`).  Here the same state is an
 immutable JAX pytree threaded through jitted update steps.
 
-TPU layout note: biases are FUSED into the embedding tables as column ``D``
-(mirroring the reference's own representation layout, where the bias is the
-last slot of every latent representation, template:287-317).  This halves the
-gather/scatter count on the training hot path; the public API still exposes
-the reference's 12 separate arrays as views (see ``LightFM`` properties).
+TPU layout note: biases are FUSED into the embedding tables as the LAST
+column (mirroring the reference's own representation layout, where the bias
+is the last slot of every latent representation, template:287-317), and the
+table width is padded to a multiple of 8 with zero columns between the
+embedding block and the bias.  Fusing halves the gather/scatter count on the
+training hot path; the width padding keeps row gathers on the TPU's fast
+lowering path (odd widths like 11 or 65 fall off a ~100x cliff — measured on
+v5e).  Zero columns are exact no-ops everywhere: representations carry zeros,
+gradients to them are zero, and ``[..., :-1]`` dot products ignore them.
+The public API still exposes the reference's 12 separate arrays as views
+(see ``LightFM`` properties).
 """
 
 from __future__ import annotations
@@ -29,7 +35,8 @@ MAX_REG_SCALE = 1e6
 class ModelState(NamedTuple):
     """All trainable state.
 
-    ``*_table``: [n_features, D+1] — embedding columns 0..D-1, bias column D.
+    ``*_table``: [n_features, W] with W = table_width(D) — embedding columns
+    0..D-1, zero-padding columns D..W-2, bias column W-1.
     ``*_acc``: adagrad/adadelta squared-gradient accumulators (same shape).
     ``*_mom``: adadelta squared-update moving averages.
     Together these mirror `FastLightFM`'s 12 arrays (template:185-259); the
@@ -45,9 +52,16 @@ class ModelState(NamedTuple):
     item_scale: jax.Array  # f32 scalar
     user_scale: jax.Array  # f32 scalar
 
-    @property
-    def no_components(self) -> int:
-        return self.item_table.shape[1] - 1
+
+def table_width(no_components: int) -> int:
+    """Fused-table width: D embedding cols + bias col, rounded up to 8.
+
+    Multiples of 8 (f32 sublane) keep random row gathers on XLA:TPU's fast
+    path; widths like 11 (D=10) or 65 (D=64) measured up to ~100x slower.
+    XLA pads the minor dimension to the 128-lane tile internally anyway, so
+    the explicit zero columns cost no extra HBM.
+    """
+    return ((no_components + 1 + 7) // 8) * 8
 
 
 def init_state(
@@ -65,10 +79,12 @@ def init_state(
     RandomState so that seeded runs are bit-identical across processes.
     """
     D = no_components
+    W = table_width(D)
 
     def make_table(n):
         emb = ((random_state.rand(n, D) - 0.5) / D).astype(np.float32)
-        return np.concatenate([emb, np.zeros((n, 1), np.float32)], axis=1)
+        # Zero pad columns D..W-2, bias column W-1 (zero-initialised).
+        return np.concatenate([emb, np.zeros((n, W - D), np.float32)], axis=1)
 
     # Reference init order: item embeddings first, then user (lightfm.py:287-306).
     item = make_table(no_item_features)
