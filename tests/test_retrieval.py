@@ -124,3 +124,24 @@ def test_recommend_with_features(model):
     assert ids.shape == (4, 5)
     assert np.all(ids < feats.shape[0])
     assert np.all(np.isfinite(scores))
+
+
+def test_approx_topk_high_recall(model):
+    user_ids = np.arange(64, dtype=np.int32)
+    k = 10
+    _, exact_ids = model.recommend(user_ids, k=k, n_items=512, mode="exact")
+    _, approx_ids = model.recommend(user_ids, k=k, n_items=512, mode="approx")
+    recall = np.mean(
+        [
+            len(set(exact_ids[i]).intersection(approx_ids[i])) / k
+            for i in range(len(user_ids))
+        ]
+    )
+    assert recall > 0.9
+
+
+def test_auto_mode_small_catalog_is_exact(model):
+    user_ids = np.arange(8, dtype=np.int32)
+    s_auto, i_auto = model.recommend(user_ids, k=5, n_items=512)  # auto -> exact
+    s_ex, i_ex = model.recommend(user_ids, k=5, n_items=512, mode="exact")
+    assert np.array_equal(i_auto, i_ex)
