@@ -18,5 +18,6 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 
 from lightfm_tpu.model import LightFM  # noqa: F401,E402
 from lightfm_tpu.version import __version__  # noqa: F401,E402
+from lightfm_tpu.checkpoint import load_model, save_model  # noqa: F401,E402
 
-__all__ = ["LightFM", "__version__"]
+__all__ = ["LightFM", "save_model", "load_model", "__version__"]

@@ -415,6 +415,10 @@ class LightFM:
             0, np.iinfo(np.int32).max, size=epochs
         ).astype(np.uint32)
 
+        from lightfm_tpu.observability import FitStats
+
+        stats = FitStats(n_examples=len(interactions.data), epochs=epochs)
+
         if verbose:
             # Per-epoch dispatch so progress/finite checks track epochs,
             # exactly like the reference's epoch loop (lightfm.py:654-664).
@@ -432,6 +436,8 @@ class LightFM:
             )
             self._check_finite()
 
+        # Throughput counter (the _check_finite sync makes wall time honest).
+        self.fit_stats_ = stats.finish()
         return self
 
     # ------------------------------------------------------------------

@@ -1,0 +1,85 @@
+"""Checkpoint/resume tests: npz save/load must preserve predictions, RNG
+stream, and fit/fit_partial semantics (the reference validates the same
+contract over pickle, its test_movielens.py:387-412)."""
+
+import numpy as np
+import pytest
+
+from lightfm_tpu import LightFM
+from lightfm_tpu.checkpoint import load_model, save_model
+from lightfm_tpu.datasets import generate_synthetic
+from lightfm_tpu.evaluation import auc_score
+
+SEED = 10
+
+_data = generate_synthetic(n_users=120, n_items=200, seed=4)
+_train = _data["train"]
+
+
+def test_save_load_roundtrip_predicts_identically(tmp_path):
+    model = LightFM(loss="warp", no_components=8, random_state=SEED)
+    model.fit(_train, epochs=3)
+    path = str(tmp_path / "model.npz")
+    save_model(model, path)
+    clone = load_model(path)
+
+    uid = np.arange(50, dtype=np.int32)
+    iid = np.arange(50, dtype=np.int32)
+    assert np.array_equal(model.predict(uid, iid), clone.predict(uid, iid))
+    assert np.array_equal(model.item_embeddings, clone.item_embeddings)
+    assert np.array_equal(
+        model.user_embedding_gradients, clone.user_embedding_gradients
+    )
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    # fit 2 epochs, checkpoint, resume 2 more == one 4-epoch run (same seed):
+    # the RNG stream must survive serialization bit-exactly.
+    full = LightFM(loss="warp", random_state=SEED).fit(_train, epochs=4)
+
+    first = LightFM(loss="warp", random_state=SEED).fit(_train, epochs=2)
+    path = str(tmp_path / "ckpt.npz")
+    save_model(first, path)
+    resumed = load_model(path)
+    resumed.fit_partial(_train, epochs=2)
+
+    assert np.array_equal(full.item_embeddings, resumed.item_embeddings)
+    assert np.array_equal(full.user_embeddings, resumed.user_embeddings)
+
+
+def test_loaded_model_fit_resets(tmp_path):
+    model = LightFM(loss="warp", random_state=SEED).fit(_train, epochs=2)
+    path = str(tmp_path / "m.npz")
+    save_model(model, path)
+    loaded = load_model(path)
+    before = loaded.item_embeddings.copy()
+    loaded.fit(_train, epochs=1)  # fit resets state
+    assert not np.array_equal(before, loaded.item_embeddings)
+
+
+def test_unfitted_model_roundtrip(tmp_path):
+    model = LightFM(loss="bpr", no_components=7)
+    path = str(tmp_path / "unfit.npz")
+    save_model(model, path)
+    loaded = load_model(path)
+    assert loaded._state is None
+    assert loaded.loss == "bpr"
+    assert loaded.no_components == 7
+    loaded.fit(_train, epochs=1)
+    assert auc_score(loaded, _train.tocsr(), check_intersections=False).mean() > 0.4
+
+
+def test_future_format_version_rejected(tmp_path):
+    model = LightFM(random_state=SEED)
+    path = str(tmp_path / "m.npz")
+    save_model(model, path)
+    import json
+
+    data = dict(np.load(path))
+    header = json.loads(bytes(data["_header"].tobytes()).decode())
+    header["format_version"] = 999
+    data["_header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **data)
+    with pytest.raises(ValueError, match="newer than supported"):
+        load_model(path)

@@ -1,0 +1,133 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightfm_tpu.ops.pallas_rank import rank_counts_fused
+
+
+def _reference_counts(u_aug, items_aug, ts):
+    scores = u_aug @ items_aug.T
+    return (scores[:, None, :] >= ts[:, :, None]).sum(-1).astype(np.float32)
+
+
+def test_rank_counts_fused_matches_dense():
+    rng = np.random.RandomState(0)
+    U, I, Wa, T = 16, 256, 8, 8
+    u = rng.randn(U, Wa).astype(np.float32)
+    items = rng.randn(I, Wa).astype(np.float32)
+    ts = rng.randn(U, T).astype(np.float32)
+
+    got = np.asarray(
+        rank_counts_fused(
+            jnp.asarray(u), jnp.asarray(items), jnp.asarray(ts),
+            user_block=8, item_block=128, interpret=True,
+        )
+    )
+    want = _reference_counts(u, items, ts)
+    assert np.array_equal(got, want)
+
+
+def test_rank_counts_fused_exact_ties():
+    # All-zero embeddings: every score is exactly 0.0 -> every comparison is
+    # a tie and must count (pessimistic >=), matching the reference's
+    # zeroed-embeddings contract (its test_api.py:217-282).
+    U, I, Wa, T = 8, 128, 8, 8
+    u = np.zeros((U, Wa), np.float32)
+    items = np.zeros((I, Wa), np.float32)
+    ts = np.zeros((U, T), np.float32)
+    got = np.asarray(
+        rank_counts_fused(
+            jnp.asarray(u), jnp.asarray(items), jnp.asarray(ts),
+            user_block=8, item_block=128, interpret=True,
+        )
+    )
+    assert np.all(got == I)
+
+
+def test_rank_counts_fused_inf_ts_pad():
+    # +inf test-score padding counts zero items.
+    rng = np.random.RandomState(1)
+    U, I, Wa, T = 8, 128, 8, 8
+    u = rng.randn(U, Wa).astype(np.float32)
+    items = rng.randn(I, Wa).astype(np.float32)
+    ts = np.full((U, T), np.inf, np.float32)
+    got = np.asarray(
+        rank_counts_fused(
+            jnp.asarray(u), jnp.asarray(items), jnp.asarray(ts),
+            user_block=8, item_block=128, interpret=True,
+        )
+    )
+    assert np.all(got == 0)
+
+
+def test_ranks_fused_matches_flat_path():
+    # The full fused ranking pipeline (diag-GEMM ts extraction + kernel +
+    # exclusion subtraction) vs the XLA flat path.  On TPU both compute every
+    # score with the same single-K-tile MXU GEMM, so ranks are bit-identical
+    # (verified exactly on v5e, incl. exclusions and the zero-embedding tie
+    # case).  On the CPU backend (this CI), XLA's dot uses N-dependent
+    # reduction orders, so the self-match comparison can flip per entry:
+    # assert equality up to that +-1 ambiguity here.
+    import scipy.sparse as sp
+    from lightfm_tpu.ops import ranking
+    from lightfm_tpu.sparse import identity_rows
+    from lightfm_tpu.state import init_state
+
+    rng = np.random.RandomState(0)
+    n_users, n_items, T = 48, 300, 5
+    rows = np.repeat(np.arange(n_users), T)
+    cols = np.concatenate(
+        [rng.choice(n_items, T, replace=False) for _ in range(n_users)]
+    )
+    test = sp.csr_matrix(
+        (np.ones(n_users * T, np.float32), (rows, cols)), shape=(n_users, n_items)
+    )
+    train = sp.csr_matrix(
+        (np.ones(n_users * T, np.float32), (rows, (cols + 11) % n_items)),
+        shape=(n_users, n_items),
+    )
+    train = train - train.multiply(test)
+    train.eliminate_zeros()
+    train = sp.csr_matrix(train)
+
+    state = init_state(16, n_items, n_users, rng, adagrad=True)
+    uf, itf = identity_rows(n_users), identity_rows(n_items)
+
+    # Build padded args exactly as predict_ranks_padded does.
+    lengths = np.diff(test.indptr)
+    user_block = 16
+    u_pad = ranking._round_up(n_users, user_block)
+    test_idx = np.zeros((u_pad, T), np.int32)
+    test_valid = np.zeros((u_pad, T), bool)
+    row_of = np.repeat(np.arange(n_users), lengths)
+    pos_in_row = np.arange(test.nnz) - np.repeat(test.indptr[:-1], lengths)
+    test_idx[row_of, pos_in_row] = test.indices
+    test_valid[row_of, pos_in_row] = True
+    tr_lengths = np.diff(train.indptr)
+    Ptr = max(1, int(tr_lengths.max()))
+    train_idx = np.full((u_pad, Ptr), n_items, np.int32)
+    trow = np.repeat(np.arange(n_users), tr_lengths)
+    tpos = np.arange(train.nnz) - np.repeat(train.indptr[:-1], tr_lengths)
+    train_idx[trow, tpos] = train.indices
+    user_ids = np.zeros(u_pad, np.int32)
+    user_ids[:n_users] = np.arange(n_users)
+
+    args = (
+        state, uf, itf,
+        jnp.asarray(user_ids), jnp.asarray(test_idx),
+        jnp.asarray(test_valid), jnp.asarray(train_idx),
+    )
+    fused = np.asarray(
+        ranking._ranks_fused(
+            *args, n_items=n_items, user_block=user_block, item_block=128,
+            interpret=True,
+        )
+    )
+    flat = np.asarray(
+        ranking._ranks_flat(*args, n_items=n_items, user_block=user_block)
+    )
+    assert np.abs(fused - flat).max() <= 1
