@@ -35,6 +35,13 @@ def _read_raw_data(path):
 
 def _parse_interactions(lines):
     """Parse `uid \\t iid \\t rating \\t timestamp` lines to 0-based arrays."""
+    from lightfm_tpu import native
+
+    if native.AVAILABLE:
+        buf = "\n".join(lines).encode()
+        uids, iids, vals = native.parse_interactions(buf, delim=b"\t")
+        return uids - 1, iids - 1, vals.astype(np.int64)
+
     rows = []
     for line in lines:
         if not line:

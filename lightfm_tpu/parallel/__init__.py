@@ -1,6 +1,7 @@
 from lightfm_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
+    initialize_multihost,
     make_mesh,
     shard_state,
     shard_train_data,

@@ -30,6 +30,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Initialise the multi-host JAX runtime (one process per host).
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host pods work
+    with the same code path: after this, ``jax.devices()`` spans all hosts
+    and the mesh built by :func:`make_mesh` lays the ``data``/``model`` axes
+    across ICI within a slice and DCN between slices automatically (device
+    order is ICI-contiguous).  On Cloud TPU all arguments are auto-detected;
+    pass coordinator_address/num_processes/process_id explicitly elsewhere.
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
