@@ -50,6 +50,33 @@ def _load_dataset():
     return train.tocoo(), test.tocoo(), "synthetic-ml100k"
 
 
+def _bench_serving(model, train, detail):
+    """Secondary serving metrics: eval ranking and top-k retrieval QPS."""
+    import numpy as np
+
+    from lightfm_tpu.evaluation import auc_score
+
+    train_csr = train.tocsr()
+    n_users, n_items = train_csr.shape
+
+    # predict_rank throughput (the fused Pallas kernel path on TPU).
+    _ = auc_score(model, train_csr, check_intersections=False)  # compile
+    t0 = time.perf_counter()
+    auc = float(auc_score(model, train_csr, check_intersections=False).mean())
+    rank_s = time.perf_counter() - t0
+    detail["predict_rank_users_per_sec"] = round(n_users / rank_s, 1)
+    detail["auc_train"] = round(auc, 4)
+
+    # Retrieval QPS (approx_max_k + exact rerank).
+    uid = np.arange(min(n_users, 512), dtype=np.int32)
+    _ = model.recommend(uid, k=10, mode="approx")  # compile
+    t0 = time.perf_counter()
+    for _i in range(5):
+        _ = model.recommend(uid, k=10, mode="approx")
+    topk_s = (time.perf_counter() - t0) / 5
+    detail["topk_qps"] = round(len(uid) / topk_s, 1)
+
+
 def main():
     from lightfm_tpu import LightFM
     from lightfm_tpu.evaluation import precision_at_k
@@ -71,19 +98,25 @@ def main():
     # Accuracy guard: the run must be learning (quickstart: p@5 train ~ 0.43).
     p5 = float(precision_at_k(model, train.tocsr(), k=5).mean())
 
+    detail = {
+        "dataset": dataset_name,
+        "train_nnz": int(train.nnz),
+        "epochs": epochs,
+        "wall_s": round(elapsed, 4),
+        "precision_at_5_train": round(p5, 4),
+        "device": str(__import__("jax").devices()[0]),
+    }
+    try:
+        _bench_serving(model, train, detail)
+    except Exception as e:  # secondary metrics must not sink the headline
+        detail["serving_bench_error"] = repr(e)
+
     result = {
         "metric": "warp_examples_per_sec",
         "value": round(examples_per_sec, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
-        "detail": {
-            "dataset": dataset_name,
-            "train_nnz": int(train.nnz),
-            "epochs": epochs,
-            "wall_s": round(elapsed, 4),
-            "precision_at_5_train": round(p5, 4),
-            "device": str(__import__("jax").devices()[0]),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -248,3 +248,39 @@ def _get_metrics_features(model, train_set, test_set, item_features):
         auc_score(model, train_set, item_features=item_features).mean(),
         auc_score(model, test_set, item_features=item_features).mean(),
     )
+
+
+def test_sample_weights_scaled_down_still_learns():
+    # Uniformly scaled-down weights still learn (the reference's
+    # test_movielens_accuracy_sample_weights, :415-434).
+    weights = train.copy()
+    weights.data = np.ones(train.getnnz(), dtype=np.float32) * 0.5
+    # Floors calibrated on this dataset (batched adagrad adapts over ~85
+    # steps/epoch rather than the reference's per-sample cadence, so the
+    # half-weight drop is steeper for the lr-sensitive losses).
+    for loss, floor in (("logistic", 0.58), ("bpr", 0.70), ("warp", 0.88)):
+        model = LightFM(loss=loss, random_state=SEED)
+        model.fit_partial(train, sample_weight=weights, epochs=10)
+        _, _, atr, _ = _get_metrics(model, train, test)
+        assert atr > floor, (loss, atr)
+
+
+def test_zero_weight_users_accumulate_no_gradient():
+    # Zero-weight samples must not move adagrad accumulators (the
+    # reference's grad-accumulation contract, test_movielens.py:437-460).
+    weights = train.copy()
+    weights.data = np.ones(train.getnnz(), dtype=np.float32)
+    even_users = weights.row % 2 == 0
+    weights.data *= even_users
+
+    even_idx = np.arange(train.shape[0]) % 2 == 0
+    odd_idx = ~even_idx
+
+    for loss in ("logistic", "bpr", "warp"):
+        model = LightFM(loss=loss, random_state=SEED)
+        model.fit_partial(train, sample_weight=weights, epochs=1)
+
+        assert np.allclose(model.user_embedding_gradients[odd_idx], 1.0)
+        assert np.allclose(model.user_bias_gradients[odd_idx], 1.0)
+        assert not np.allclose(model.user_embedding_gradients[even_idx], 1.0)
+        assert not np.allclose(model.user_bias_gradients[even_idx], 1.0)
