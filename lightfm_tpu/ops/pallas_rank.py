@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _rank_count_kernel(ts_ref, u_ref, items_ref, counts_ref):
     ib = pl.program_id(1)
+    # HIGHEST: f32-exact (TPU default rounds inputs to bf16), matching the
+    # diag-GEMM test/excluded-score extraction bit for bit.
     scores = jnp.dot(
-        u_ref[:], items_ref[:].T, preferred_element_type=jnp.float32
+        u_ref[:], items_ref[:].T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [UB, IB]
     ts = ts_ref[:]  # [UB, T]
     c = (

@@ -40,6 +40,22 @@ from lightfm_tpu.state import ModelState
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
+
+def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32-exact MXU matmul for SERVING-path scores.
+
+    TPU jnp.dot defaults round f32 inputs to bf16 (preferred_element_type
+    only sets the accumulator); Precision.HIGHEST keeps scoring consistent
+    with predict()'s f32 VPU dot and with the reference's f32 numerics.
+    Training matmuls keep the bf16 default — SGD noise, validated by the
+    accuracy floors.
+    """
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
 # Above this catalog width the flat [user_block, n_items] score row is
 # replaced by the blocked two-pass variant.
 FLAT_CATALOG_LIMIT = 131072
@@ -140,7 +156,7 @@ def _ranks_flat(
         u_ids, t_idx, t_valid, tr_idx = xs
         u_rep = batch_representation(state.user_table, user_feats, u_ids)
         u_aug = _augment_users(u_rep)  # [UB, D+2]
-        scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
+        scores = _f32_dot(u_aug, item_aug.T)
         rows = jnp.broadcast_to(
             jnp.arange(user_block, dtype=jnp.int32)[:, None], tr_idx.shape
         )
@@ -218,7 +234,7 @@ def _ranks_blocked(
         )
 
         def block_scores(rep, start):
-            scores = jnp.dot(u_aug, rep.T, preferred_element_type=jnp.float32)
+            scores = _f32_dot(u_aug, rep.T)
             local = jnp.where(
                 (tr_idx >= start) & (tr_idx < start + item_block),
                 tr_idx - start,
@@ -278,10 +294,7 @@ def _diag_scores(u_aug: jax.Array, reps: jax.Array, user_block: int) -> jax.Arra
 
     def body(_, xs):
         u_blk, r_blk = xs  # [UB, Wa], [UB, C, Wa]
-        s = jnp.dot(
-            u_blk, r_blk.reshape(user_block * C, Wa).T,
-            preferred_element_type=jnp.float32,
-        )  # [UB, UB*C]
+        s = _f32_dot(u_blk, r_blk.reshape(user_block * C, Wa).T)  # [UB, UB*C]
         rows = jnp.arange(user_block, dtype=jnp.int32)[:, None]
         cols = rows * C + jnp.arange(C, dtype=jnp.int32)[None, :]
         return None, s[rows, cols]  # [UB, C]

@@ -40,6 +40,15 @@ from lightfm_tpu.sparse import IdentityRows, PaddedRows
 _NEG_INF = jnp.float32(-jnp.inf)
 
 
+def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32-exact serving matmul (see ops.ranking._f32_dot)."""
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def catalog_representations(state, item_feats, n_items: int) -> jax.Array:
     """Augmented [n_items, D+2] item representations: [emb, bias, 1]."""
     # Lazy-reg scales are folded into the tables at every epoch end, so the
@@ -88,7 +97,7 @@ def _top_k_dense(
 ):
     u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)  # [B, D+2]
-    scores = jnp.dot(u_aug, item_aug.T, preferred_element_type=jnp.float32)
+    scores = _f32_dot(u_aug, item_aug.T)
     scores = _mask_exclusions(scores, exclude_idx, item_aug.shape[0])
     if method == "approx":
         # TPU-native approximate top-k (jax.lax.approx_max_k lowers to the
@@ -170,7 +179,7 @@ def top_k_sharded(
         shard = jax.lax.axis_index(MODEL_AXIS)
         blk = items_local.shape[0]
         start = shard * blk
-        scores = jnp.dot(u_aug_rep, items_local.T, preferred_element_type=jnp.float32)
+        scores = _f32_dot(u_aug_rep, items_local.T)
         local_excl = jnp.where(
             (excl >= start) & (excl < start + blk), excl - start, blk
         )
@@ -264,7 +273,9 @@ def _top_k_compressed(
 
     # Stage 2: exact rerank of survivors.
     cand_rep = index.item_aug[cand]  # [B, c, D+2]
-    exact = jnp.einsum("bd,bcd->bc", u_aug, cand_rep)
+    exact = jnp.einsum(
+        "bd,bcd->bc", u_aug, cand_rep, precision=jax.lax.Precision.HIGHEST
+    )
     exact = jnp.where(cand < index.n_items, exact, _NEG_INF)
     s, j = jax.lax.top_k(exact, k)
     return s, jnp.take_along_axis(cand, j, axis=1)

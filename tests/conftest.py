@@ -12,15 +12,21 @@ for sharding tests (the reference has no distributed tests; SURVEY §4).
 
 import os
 
+# Set LIGHTFM_TPU_TEST_BACKEND=native to run the suite on the real device
+# backend (e.g. to exercise the TPU-only fused Pallas paths); default is the
+# 8-virtual-device CPU mesh.
+_NATIVE = os.environ.get("LIGHTFM_TPU_TEST_BACKEND") == "native"
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if not _NATIVE and "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:  # already initialised on another platform
-    pass
+if not _NATIVE:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # already initialised on another platform
+        pass
