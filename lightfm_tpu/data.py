@@ -101,7 +101,87 @@ class _FeatureBuilder:
                 )
             yield (idx, self._feature_mapping[feature], weight)
 
+    def _build_arrays(self, entity_ids, feature_ids, weights):
+        """Vectorised build from numpy id arrays via the native engine."""
+        from lightfm_tpu import native
+
+        def keys_i64(mapping):
+            try:
+                return np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+            except (TypeError, ValueError, OverflowError):
+                return None
+
+        ekeys = keys_i64(self._id_mapping)
+        fkeys = keys_i64(self._feature_mapping)
+        if ekeys is None or fkeys is None or not native.AVAILABLE:
+            if weights is None:
+                it = ((e, [f]) for e, f in zip(entity_ids, feature_ids))
+            else:
+                it = (
+                    (e, {f: w})
+                    for e, f, w in zip(entity_ids, feature_ids, weights)
+                )
+            return self.build(it)
+
+        eidx = native.lookup_ids(ekeys, np.asarray(entity_ids, dtype=np.int64))
+        fidx = native.lookup_ids(fkeys, np.asarray(feature_ids, dtype=np.int64))
+        if (eidx < 0).any():
+            bad = np.asarray(entity_ids)[eidx < 0][0]
+            raise ValueError(
+                "{entity_type} id {entity_id} not in {entity_type} id mappings.".format(
+                    entity_type=self._entity_type, entity_id=bad
+                )
+            )
+        if (fidx < 0).any():
+            bad = np.asarray(feature_ids)[fidx < 0][0]
+            raise ValueError(
+                "Feature {} not in feature mapping. Call fit first.".format(bad)
+            )
+        w = (
+            np.ones(len(eidx), dtype=np.float32)
+            if weights is None
+            else np.asarray(weights, dtype=np.float32)
+        )
+
+        rows, cols, vals = [eidx], [fidx], [w]
+        if self._identity_features:
+            id_rows = np.fromiter(
+                self._id_mapping.values(), dtype=np.int32, count=len(self._id_mapping)
+            )
+            id_cols = np.array(
+                [self._feature_mapping[k] for k in self._id_mapping], dtype=np.int32
+            )
+            rows.insert(0, id_rows)
+            cols.insert(0, id_cols)
+            vals.insert(0, np.ones(len(id_rows), dtype=np.float32))
+        mat = sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=self.features_shape(),
+        ).tocsr()
+        return self._normalized(mat)
+
+    def _normalized(self, features):
+        if self._normalize:
+            if np.any(features.getnnz(1) == 0):
+                raise ValueError(
+                    "Cannot normalize feature matrix: some rows have zero norm. "
+                    "Ensure that features were provided for all entries."
+                )
+            row_sums = np.abs(features).sum(axis=1).A.ravel()
+            scale = np.repeat(1.0 / row_sums, np.diff(features.indptr))
+            features.data = (features.data * scale).astype(np.float32)
+        return features
+
     def build(self, data):
+        if (
+            isinstance(data, tuple)
+            and len(data) in (2, 3)
+            and all(isinstance(a, np.ndarray) for a in data)
+        ):
+            return self._build_arrays(
+                data[0], data[1], data[2] if len(data) == 3 else None
+            )
+
         features = _IncrementalCOOMatrix(self.features_shape(), np.float32)
 
         if self._identity_features:
@@ -112,20 +192,7 @@ class _FeatureBuilder:
             for entity_idx, feature_idx, weight in self._process_features(datum):
                 features.append(entity_idx, feature_idx, weight)
 
-        features = features.tocoo().tocsr()
-
-        if self._normalize:
-            if np.any(features.getnnz(1) == 0):
-                raise ValueError(
-                    "Cannot normalize feature matrix: some rows have zero norm. "
-                    "Ensure that features were provided for all entries."
-                )
-            # L1 row normalisation without the sklearn dependency.
-            row_sums = np.abs(features).sum(axis=1).A.ravel()
-            scale = np.repeat(1.0 / row_sums, np.diff(features.indptr))
-            features.data = (features.data * scale).astype(np.float32)
-
-        return features
+        return self._normalized(features.tocoo().tocsr())
 
 
 class Dataset:

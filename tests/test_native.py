@@ -86,3 +86,37 @@ def test_fit_partial_mixed_paths():
     ds.fit_partial(users=["alice"], items=["thing"])
     umap = ds.mapping()[0]
     assert umap[7] == 0 and umap[8] == 1 and umap["alice"] == 2
+
+
+def test_feature_builder_arrays_match_python():
+    rng = np.random.RandomState(2)
+    items = np.arange(40)
+    feats = np.arange(100, 112)
+    ds = Dataset()
+    ds.fit(np.arange(5), items, item_features=feats)
+
+    e = rng.randint(0, 40, 120)
+    f = feats[rng.randint(0, len(feats), 120)]
+    w = rng.rand(120).astype(np.float32)
+
+    fast = ds.build_item_features((e, f, w), normalize=True)
+    slow = ds.build_item_features(
+        [(int(a), {int(b): float(c)}) for a, b, c in zip(e, f, w)], normalize=True
+    )
+    assert np.allclose(fast.toarray(), slow.toarray(), atol=1e-6)
+
+    # no-weights variant
+    fast1 = ds.build_item_features((e, f), normalize=False)
+    slow1 = ds.build_item_features(
+        [(int(a), [int(b)]) for a, b in zip(e, f)], normalize=False
+    )
+    assert np.allclose(fast1.toarray(), slow1.toarray(), atol=1e-6)
+
+
+def test_feature_builder_arrays_unknown_raises():
+    ds = Dataset()
+    ds.fit(np.arange(5), np.arange(10), item_features=np.arange(100, 105))
+    with pytest.raises(ValueError, match="not in item id mappings"):
+        ds.build_item_features((np.array([99]), np.array([100])))
+    with pytest.raises(ValueError, match="not in feature mapping"):
+        ds.build_item_features((np.array([1]), np.array([999])))
