@@ -618,9 +618,15 @@ class LightFM:
             P = max(1, int(sel_lengths.max()) if len(sel_lengths) else 1)
             # Sentinel > any padded catalog width so masked scatters drop.
             exclude = np.full((len(user_ids), P), np.iinfo(np.int32).max, np.int32)
-            for i, u in enumerate(user_ids):
-                row = tr.indices[tr.indptr[u] : tr.indptr[u + 1]]
-                exclude[i, : len(row)] = row
+            # Vectorised ragged fill over the selected users' rows.
+            nnz_sel = int(sel_lengths.sum())
+            if nnz_sel:
+                row_of = np.repeat(np.arange(len(user_ids)), sel_lengths)
+                pos = np.arange(nnz_sel) - np.repeat(
+                    np.cumsum(sel_lengths) - sel_lengths, sel_lengths
+                )
+                flat = np.repeat(tr.indptr[user_ids], sel_lengths) + pos
+                exclude[row_of, pos] = tr.indices[flat]
             exclude_idx = jnp.asarray(exclude)
 
         uid = jnp.asarray(user_ids)
