@@ -261,8 +261,14 @@ class Dataset:
         """
         if users is not None:
             if self._extend_mapping_fast(self._user_id_mapping, users):
-                if self._user_identity_features:
-                    self._extend_mapping_fast(self._user_feature_mapping, users)
+                if self._user_identity_features and not self._extend_mapping_fast(
+                    self._user_feature_mapping, users
+                ):
+                    # Feature mapping holds non-int keys: fall back for it.
+                    for user_id in users:
+                        self._user_feature_mapping.setdefault(
+                            user_id, len(self._user_feature_mapping)
+                        )
             else:
                 for user_id in users:
                     self._user_id_mapping.setdefault(user_id, len(self._user_id_mapping))
@@ -273,8 +279,13 @@ class Dataset:
 
         if items is not None:
             if self._extend_mapping_fast(self._item_id_mapping, items):
-                if self._item_identity_features:
-                    self._extend_mapping_fast(self._item_feature_mapping, items)
+                if self._item_identity_features and not self._extend_mapping_fast(
+                    self._item_feature_mapping, items
+                ):
+                    for item_id in items:
+                        self._item_feature_mapping.setdefault(
+                            item_id, len(self._item_feature_mapping)
+                        )
             else:
                 for item_id in items:
                     self._item_id_mapping.setdefault(item_id, len(self._item_id_mapping))

@@ -120,3 +120,14 @@ def test_feature_builder_arrays_unknown_raises():
         ds.build_item_features((np.array([99]), np.array([100])))
     with pytest.raises(ValueError, match="not in feature mapping"):
         ds.build_item_features((np.array([1]), np.array([999])))
+
+
+def test_fit_partial_mixed_feature_mapping_keeps_identity_entries():
+    # Regression: when int-array ids take the native path but the feature
+    # mapping already holds string keys, identity entries must still be
+    # registered via the Python fallback.
+    ds = Dataset()
+    ds.fit_partial(item_features=["tag:a"])           # string feature first
+    ds.fit_partial(items=np.array([5, 6], np.int64))  # native id path
+    fmap = ds.mapping()[3]
+    assert fmap["tag:a"] == 0 and fmap[5] == 1 and fmap[6] == 2
