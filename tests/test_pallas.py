@@ -136,3 +136,33 @@ def test_ranks_fused_matches_flat_path():
         ranking._ranks_flat(*args, n_items=n_items, user_block=user_block)
     )
     assert np.abs(fused - flat).max() <= 1
+
+
+def test_adagrad_update_pallas_matches_scatter():
+    # Differential test of the experimental blocked update kernel
+    # (ops/pallas_update.py) against the sequential adagrad reference, in
+    # interpret mode: duplicates accumulate, pre-batch accumulator lr.
+    from lightfm_tpu.ops.pallas_update import adagrad_update_pallas
+
+    rng = np.random.RandomState(0)
+    R, W, M = 1000, 16, 300
+    table = rng.randn(R, W).astype(np.float32)
+    acc = np.ones((R, W), np.float32) + rng.rand(R, W).astype(np.float32)
+    idx = rng.randint(0, R, M).astype(np.int32)
+    idx[::7] = idx[0]  # duplicates
+    wg = rng.randn(M, W).astype(np.float32)
+    wg[::11] = 0.0
+
+    lr = 0.05
+    lr_local = lr / np.sqrt(acc[idx])
+    t_ref = table.copy()
+    a_ref = acc.copy()
+    np.add.at(t_ref, idx, -(lr_local * wg))
+    np.add.at(a_ref, idx, wg * wg)
+
+    t2, a2 = adagrad_update_pallas(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(idx), jnp.asarray(wg),
+        learning_rate=lr, interpret=True,
+    )
+    assert np.allclose(np.asarray(t2), t_ref, atol=1e-5)
+    assert np.allclose(np.asarray(a2), a_ref, atol=1e-5)
