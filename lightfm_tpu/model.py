@@ -89,6 +89,7 @@ class LightFM:
         batch_size=None,
         mesh=None,
         table_partition="replicated",
+        shard_examples=False,
     ):
         # Validation mirrors `lightfm/lightfm.py:205-216` (assertions +
         # max_sampled ValueError); delegated to Hyperparams.__post_init__.
@@ -120,9 +121,11 @@ class LightFM:
         self.user_alpha = user_alpha
         self.batch_size = batch_size
         # TPU execution config: device mesh + table partitioning
-        # ("replicated" | "rows" | "components"); see lightfm_tpu.parallel.
+        # ("replicated" | "rows" | "components") + example-block sharding
+        # over the data axis (pod-scale inputs); see lightfm_tpu.parallel.
         self.mesh = mesh
         self.table_partition = table_partition
+        self.shard_examples = shard_examples
 
         if random_state is None:
             self.random_state = np.random.RandomState()
@@ -405,7 +408,7 @@ class LightFM:
             from lightfm_tpu.parallel import shard_state, shard_train_data
 
             self._state = shard_state(self._state, self.mesh, self.table_partition)
-            data = shard_train_data(data, self.mesh)
+            data = shard_train_data(data, self.mesh, self.shard_examples)
 
         # All device randomness is rooted in the numpy RandomState so that
         # seeded runs reproduce and the RNG advances across epochs (the

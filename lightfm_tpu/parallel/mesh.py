@@ -21,6 +21,7 @@ from typing import Optional
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lightfm_tpu.state import ModelState
@@ -103,14 +104,33 @@ def shard_state(state: ModelState, mesh: Mesh, table_partition: str = "rows") ->
     return jax.tree.map(place, state)
 
 
-def shard_train_data(data: TrainData, mesh: Mesh) -> TrainData:
-    """Replicate training arrays across the mesh.
+def shard_train_data(
+    data: TrainData, mesh: Mesh, shard_examples: bool = False
+) -> TrainData:
+    """Place training arrays on the mesh.
 
-    The per-epoch global permutation (`lightfm/lightfm.py:689-690`) gathers
-    arbitrary example indices, so example arrays are replicated; the batch
-    itself is sharded over the data axis inside the train step (see
-    ``run_epoch``'s sharding constraint).  Multi-host streaming input is a
-    later-round concern.
+    By default example arrays are replicated: the per-epoch global shuffle
+    (`lightfm/lightfm.py:689-690`) permutes across the whole set, and the
+    batch is sharded over the data axis inside the train step (see
+    ``run_epoch``'s sharding constraint).
+
+    With ``shard_examples=True`` the packed example block is split over the
+    data axis instead — each device (host) holds only its slice, which is
+    what a pod-scale input pipeline needs.  The epoch's key-sort shuffle then
+    runs under GSPMD over the sharded axis (XLA inserts the exchange); the
+    shuffle remains a uniform global permutation.  Feature structures and
+    the positives table stay replicated (they are gathered by arbitrary
+    ids inside every step).
     """
     replicated = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, replicated), data)
+    if not shard_examples:
+        return jax.tree.map(lambda x: jax.device_put(x, replicated), data)
+
+    packed = jax.device_put(
+        data.packed, NamedSharding(mesh, P(None, DATA_AXIS))
+    )
+    rest = jax.tree.map(
+        lambda x: jax.device_put(x, replicated),
+        data._replace(packed=jnp.zeros((0,), jnp.int32)),
+    )
+    return rest._replace(packed=packed)

@@ -77,3 +77,16 @@ def test_state_sharding_layouts():
     # Row-sharded tables split the feature axis over the model axis.
     shard_shape = sharded.item_table.sharding.shard_shape(sharded.item_table.shape)
     assert shard_shape[0] == 256 // 2
+
+
+@requires_8_devices
+def test_example_sharded_training_matches_replicated():
+    # Pod-scale input layout: the packed example block split over the data
+    # axis. GSPMD must produce the same math as replicated examples.
+    train = _small_data()
+    mesh = make_mesh(n_data=8, n_model=1)
+    rep = LightFM(loss="warp", random_state=10, mesh=mesh).fit(train, epochs=2)
+    shd = LightFM(
+        loss="warp", random_state=10, mesh=mesh, shard_examples=True
+    ).fit(train, epochs=2)
+    assert np.allclose(rep.item_embeddings, shd.item_embeddings, atol=1e-3)
