@@ -63,7 +63,9 @@ def _scales(state: ModelState, hp: Hyperparams):
     """
     if hp.item_alpha == 0.0 and hp.user_alpha == 0.0:
         return None, None
-    return state.user_scale, state.item_scale
+    # Reads happen before the step's scale bump, and maybe_fold_scales runs
+    # every step, so log scales stay <= LOG_MAX_REG_SCALE here: exp is finite.
+    return jnp.exp(state.user_log_scale), jnp.exp(state.item_log_scale)
 
 
 
@@ -91,11 +93,13 @@ def _update_scales(state: ModelState, hp: Hyperparams, sum_lr, n_touch, n_update
     if hp.item_alpha == 0.0 and hp.user_alpha == 0.0:
         return state
     avg_lr = sum_lr / jnp.maximum(n_touch, 1.0)
+    # Log-space accumulation: (1 + alpha*avg_lr)^n_updates per batch
+    # overflows f32 at extreme alpha; log1p keeps it exact.
     return state._replace(
-        item_scale=state.item_scale
-        * jnp.power(1.0 + hp.item_alpha * avg_lr, n_updates),
-        user_scale=state.user_scale
-        * jnp.power(1.0 + hp.user_alpha * avg_lr, n_updates),
+        item_log_scale=state.item_log_scale
+        + n_updates * jnp.log1p(hp.item_alpha * avg_lr),
+        user_log_scale=state.user_log_scale
+        + n_updates * jnp.log1p(hp.user_alpha * avg_lr),
     )
 
 

@@ -28,8 +28,15 @@ import jax
 import jax.numpy as jnp
 
 # Rescale threshold for the lazy-regularisation accumulators, mirroring
-# MAX_REG_SCALE in the reference (`_lightfm_fast.pyx.template:19`).
+# MAX_REG_SCALE in the reference (`_lightfm_fast.pyx.template:19`).  Scales
+# are tracked in LOG space: a batched step multiplies the scale by
+# (1 + alpha*avg_lr)^n_updates, which overflows f32 within ONE step at
+# extreme alpha; in log space the fold's exp(-log_scale) underflows to an
+# exact 0 instead — the same limit the reference reaches after its many
+# sequential per-example rescales (params collapse to ~0 but stay finite,
+# its test_movielens.py:549-569 contract).
 MAX_REG_SCALE = 1e6
+LOG_MAX_REG_SCALE = float(np.log(MAX_REG_SCALE))
 
 
 class ModelState(NamedTuple):
@@ -49,8 +56,8 @@ class ModelState(NamedTuple):
     user_table: jax.Array
     user_acc: jax.Array
     user_mom: jax.Array
-    item_scale: jax.Array  # f32 scalar
-    user_scale: jax.Array  # f32 scalar
+    item_log_scale: jax.Array  # f32 scalar, log of the lazy-reg scale
+    user_log_scale: jax.Array  # f32 scalar
 
 
 def table_width(no_components: int) -> int:
@@ -98,8 +105,8 @@ def init_state(
         user_table=jnp.asarray(user),
         user_acc=jnp.full(user.shape, grad_init, dtype=jnp.float32),
         user_mom=jnp.zeros(user.shape, dtype=jnp.float32),
-        item_scale=jnp.float32(1.0),
-        user_scale=jnp.float32(1.0),
+        item_log_scale=jnp.float32(0.0),
+        user_log_scale=jnp.float32(0.0),
     )
 
 
@@ -108,13 +115,26 @@ def fold_scales(state: ModelState) -> ModelState:
 
     Equivalent to ``regularize`` in the reference
     (`_lightfm_fast.pyx.template:652-675`), run at the end of every epoch and
-    whenever a scale exceeds MAX_REG_SCALE.  Functional: returns new state.
+    whenever a scale exceeds MAX_REG_SCALE.  ``exp(-log_scale)`` underflows
+    to an exact 0 for extreme accumulations (see LOG_MAX_REG_SCALE note).
+    Functional: returns new state.
     """
+    def fold(table, log_scale):
+        inv = jnp.exp(-log_scale)
+        out = table * inv
+        # At extreme alpha a hot row's per-touch (1+alpha*lr)^t boost can
+        # saturate to inf within ONE batch while inv underflows to 0;
+        # inf * 0 = NaN.  The sequential reference rescales per example so
+        # neither factor saturates — its limit is exactly 0.  Only this
+        # saturated-pair case is patched; genuine divergence (inv > 0)
+        # still surfaces through _check_finite.
+        return jnp.where(jnp.isnan(out) & (inv == 0.0), 0.0, out)
+
     return state._replace(
-        item_table=state.item_table * (1.0 / state.item_scale),
-        user_table=state.user_table * (1.0 / state.user_scale),
-        item_scale=jnp.float32(1.0),
-        user_scale=jnp.float32(1.0),
+        item_table=fold(state.item_table, state.item_log_scale),
+        user_table=fold(state.user_table, state.user_log_scale),
+        item_log_scale=jnp.float32(0.0),
+        user_log_scale=jnp.float32(0.0),
     )
 
 
@@ -125,6 +145,7 @@ def maybe_fold_scales(state: ModelState) -> ModelState:
     are batched and functional, so no thread synchronisation exists to need.
     """
     needs = jnp.logical_or(
-        state.item_scale > MAX_REG_SCALE, state.user_scale > MAX_REG_SCALE
+        state.item_log_scale > LOG_MAX_REG_SCALE,
+        state.user_log_scale > LOG_MAX_REG_SCALE,
     )
     return jax.lax.cond(needs, fold_scales, lambda s: s, state)
