@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from lightfm_tpu.state import ModelState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: lazy-reg scales stored in log space
 
 _STATE_FIELDS = ModelState._fields
 
@@ -71,7 +71,25 @@ def load_model(path: str):
             ("MT19937", rng_keys, int(pos), int(has_gauss), float(cached))
         )
         if header["fitted"]:
+            arrays = {}
+            for name in _STATE_FIELDS:
+                if f"state_{name}" in z:
+                    arrays[name] = np.asarray(z[f"state_{name}"])
+            # v1 migration: scales were stored linear; v2 stores log.
+            if header["format_version"] < 2:
+                for side in ("item", "user"):
+                    old = f"state_{side}_scale"
+                    if old in z:
+                        arrays[f"{side}_log_scale"] = np.log(
+                            np.asarray(z[old], dtype=np.float32)
+                        )
+            missing = [n for n in _STATE_FIELDS if n not in arrays]
+            if missing:
+                raise ValueError(
+                    f"Checkpoint is missing state fields {missing}; it may "
+                    "come from an incompatible version."
+                )
             model._state = ModelState(
-                *[jnp.asarray(z[f"state_{name}"]) for name in _STATE_FIELDS]
+                **{k: jnp.asarray(v) for k, v in arrays.items()}
             )
     return model

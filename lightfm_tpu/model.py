@@ -723,7 +723,11 @@ class LightFM:
         if state is None:
             d["_state_np"] = None
         else:
-            d["_state_np"] = [np.asarray(x) for x in state]
+            # Keyed by field name so pickles survive ModelState layout
+            # changes (a positional restore silently misassigns fields).
+            d["_state_np"] = {
+                name: np.asarray(x) for name, x in zip(ModelState._fields, state)
+            }
         return d
 
     def __setstate__(self, d):
@@ -732,8 +736,28 @@ class LightFM:
         self.__dict__.setdefault("mesh", None)
         if state_np is None:
             self._state = None
-        else:
-            self._state = ModelState(*[jnp.asarray(x) for x in state_np])
+            return
+        if isinstance(state_np, list):
+            # Legacy positional pickle (pre log-space scales): six arrays
+            # followed by two LINEAR scale scalars.
+            arrays, scales = state_np[:6], state_np[6:]
+            state_np = dict(zip(ModelState._fields[:6], arrays))
+            state_np["item_log_scale"] = np.log(
+                np.asarray(scales[0] if scales else 1.0, np.float32)
+            )
+            state_np["user_log_scale"] = np.log(
+                np.asarray(scales[1] if len(scales) > 1 else 1.0, np.float32)
+            )
+        if isinstance(state_np, dict):
+            missing = [n for n in ModelState._fields if n not in state_np]
+            if missing:
+                raise ValueError(
+                    f"Pickled model state is missing fields {missing}; it may "
+                    "come from an incompatible version."
+                )
+            self._state = ModelState(
+                **{k: jnp.asarray(state_np[k]) for k in ModelState._fields}
+            )
 
 
 def _make_state_property(name):

@@ -125,10 +125,10 @@ def fold_scales(state: ModelState) -> ModelState:
         # At extreme alpha a hot row's per-touch (1+alpha*lr)^t boost can
         # saturate to inf within ONE batch while inv underflows to 0;
         # inf * 0 = NaN.  The sequential reference rescales per example so
-        # neither factor saturates — its limit is exactly 0.  Only this
-        # saturated-pair case is patched; genuine divergence (inv > 0)
-        # still surfaces through _check_finite.
-        return jnp.where(jnp.isnan(out) & (inv == 0.0), 0.0, out)
+        # neither factor saturates — its limit is exactly 0.  Patch ONLY
+        # that pair (inf in the table AND a saturated scale): a genuine NaN
+        # in the table stays NaN so _check_finite still raises.
+        return jnp.where(jnp.isinf(table) & (inv == 0.0), 0.0, out)
 
     return state._replace(
         item_table=fold(state.item_table, state.item_log_scale),

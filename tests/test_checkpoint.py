@@ -83,3 +83,45 @@ def test_future_format_version_rejected(tmp_path):
         np.savez(f, **data)
     with pytest.raises(ValueError, match="newer than supported"):
         load_model(path)
+
+
+def test_legacy_positional_pickle_migrates_scales():
+    # Pre-log-space pickles stored six arrays + two LINEAR scales
+    # positionally; loading must convert them to log space.
+    import pickle
+
+    model = LightFM(loss="warp", random_state=SEED).fit(_train, epochs=1)
+    d = model.__getstate__()
+    state = d["_state_np"]
+    legacy = [state[n] for n in list(state)[:6]] + [
+        np.float32(1.0),  # linear scale
+        np.float32(1.0),
+    ]
+    d["_state_np"] = legacy
+    clone = LightFM.__new__(LightFM)
+    clone.__setstate__(d)
+    assert float(clone._state.item_log_scale) == 0.0  # log(1.0)
+    uid = np.arange(10, dtype=np.int32)
+    assert np.array_equal(model.predict(uid, uid), clone.predict(uid, uid))
+
+
+def test_v1_npz_checkpoint_migrates_scales(tmp_path):
+    import json
+
+    model = LightFM(loss="warp", random_state=SEED).fit(_train, epochs=1)
+    path = str(tmp_path / "v1.npz")
+    save_model(model, path)
+    data = dict(np.load(path))
+    # Rewrite as a v1 checkpoint: linear scale fields, version 1.
+    header = json.loads(bytes(data["_header"].tobytes()).decode())
+    header["format_version"] = 1
+    data["_header"] = np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)
+    for side in ("item", "user"):
+        log = data.pop(f"state_{side}_log_scale")
+        data[f"state_{side}_scale"] = np.exp(log)
+    with open(path, "wb") as f:
+        np.savez(f, **data)
+
+    clone = load_model(path)
+    uid = np.arange(10, dtype=np.int32)
+    assert np.array_equal(model.predict(uid, uid), clone.predict(uid, uid))
