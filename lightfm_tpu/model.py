@@ -645,7 +645,7 @@ class LightFM:
             if self.mesh is not None:
                 scores, ids = retrieval.top_k_sharded(
                     self._state, user_feats, item_feats, uid, k, n_items,
-                    self.mesh, exclude_idx=exclude_idx,
+                    self.mesh, exclude_idx=exclude_idx, method=mode,
                 )
             else:
                 scores, ids = retrieval.top_k(

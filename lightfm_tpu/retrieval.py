@@ -149,12 +149,16 @@ def top_k_sharded(
     n_items: int,
     mesh,
     exclude_idx: Optional[jax.Array] = None,
+    method: str = "exact",
 ):
-    """Item-sharded exact top-k over a device mesh.
+    """Item-sharded top-k over a device mesh.
 
     Each model-axis shard scores its slice of the catalog and takes a local
-    top-k; the per-shard candidates are all-gathered over ICI and merged with
-    a second top-k.  Communication is O(shards * k), not O(n_items).
+    top-k (``method="approx"`` uses the TPU-native ``approx_max_k`` with 2k
+    candidates per shard — the sort-based exact top_k is ~500x slower at
+    100k+-item shards); the per-shard candidates are all-gathered over ICI
+    and merged with an exact top-k.  Communication is O(shards * k), not
+    O(n_items).
     """
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -189,7 +193,14 @@ def top_k_sharded(
         scores = scores.at[rows, jnp.minimum(local_excl, blk)].set(
             _NEG_INF, mode="drop"
         )
-        s, i = jax.lax.top_k(scores, k)  # local candidates
+        if method == "approx":
+            sv, iv = jax.lax.approx_max_k(
+                scores, min(2 * k, blk), recall_target=0.95
+            )
+            s, j = jax.lax.top_k(sv, k)
+            i = jnp.take_along_axis(iv, j, axis=1)
+        else:
+            s, i = jax.lax.top_k(scores, k)  # local candidates
         i = i + start
         # Merge across shards: all-gather the candidate lists over ICI.
         s_all = jax.lax.all_gather(s, MODEL_AXIS, axis=1, tiled=True)  # [B, S*k]

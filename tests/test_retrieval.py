@@ -148,3 +148,25 @@ def test_auto_mode_small_catalog_is_exact(model):
     s_auto, i_auto = model.recommend(user_ids, k=5, n_items=512)  # auto -> exact
     s_ex, i_ex = model.recommend(user_ids, k=5, n_items=512, mode="exact")
     assert np.array_equal(i_auto, i_ex)
+
+
+def test_sharded_approx_topk_high_recall(model):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from lightfm_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=jax.devices()[:8])
+    user_ids = np.arange(32, dtype=np.int32)
+    k = 10
+    _, exact_ids = model.recommend(user_ids, k=k, n_items=512, mode="exact")
+    model.mesh = mesh
+    try:
+        _, a_ids = model.recommend(user_ids, k=k, n_items=512, mode="approx")
+    finally:
+        model.mesh = None
+    recall = np.mean(
+        [len(set(exact_ids[i]) & set(a_ids[i])) / k for i in range(len(user_ids))]
+    )
+    assert recall > 0.9
