@@ -1,0 +1,32 @@
+import time
+import numpy as np
+import scipy.sparse as sp
+import jax, jax.numpy as jnp
+
+from lightfm_tpu.state import init_state
+from lightfm_tpu.config import Hyperparams
+from lightfm_tpu.train import build_train_data, run_epoch
+from lightfm_tpu.sparse import identity_rows
+
+rng = np.random.RandomState(0)
+n_users, n_items, nnz, D = 200_000, 100_000, 5_000_000, 64
+rows = rng.randint(0, n_users, nnz).astype(np.int32)
+cols = rng.randint(0, n_items, nnz).astype(np.int32)
+coo = sp.coo_matrix((np.ones(nnz, np.float32), (rows, cols)), shape=(n_users, n_items))
+coo.sum_duplicates()
+nnz = coo.nnz
+B = 131072
+
+for loss in ("warp", "bpr", "logistic", "warp-kos"):
+    for sched in ("adagrad", "adadelta"):
+        hp = Hyperparams(no_components=D, loss=loss, learning_schedule=sched)
+        state = init_state(D, n_items, n_users, rng, adagrad=(sched == "adagrad"))
+        data = build_train_data(coo, np.ones(nnz, np.float32), identity_rows(n_users), identity_rows(n_items), hp, B)
+        key = jax.random.key(0)
+        s = run_epoch(state, data, key, hp, B)
+        _ = float(jnp.sum(s.item_table))
+        t0 = time.perf_counter()
+        s = run_epoch(state, data, key, hp, B)
+        _ = float(jnp.sum(s.item_table))
+        dt = time.perf_counter() - t0
+        print(f"{loss:9s} {sched:9s}: {nnz/dt/1e6:5.2f}M ex/s ({dt:.2f}s/epoch)")
