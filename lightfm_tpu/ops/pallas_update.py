@@ -21,15 +21,15 @@ update bit-faithful to the XLA formulation up to summation order).
 
 Restrictions: adagrad schedule, no lazy-L2 alpha, 2-D tables.
 
-STATUS — experimental, NOT wired into the training path.  In an isolated
-update-only scan this kernel measures 1.5x faster than the XLA scatter
-(7.4ms vs 11.0ms per [262144, 72]-touch step on v5e, including its sort),
-but inside the full WARP epoch it regressed end-to-end: the XLA scatter
-overlaps with neighbouring ops in the step pipeline while the pallas_call
-serializes, the sort/pad wrapper adds per-step latency that dominates at
-small batches, and the in-epoch compile hits Mosaic VMEM-stack limits at
-some shapes.  Kept (with differential tests) as the starting point for a
-double-buffered rewrite; training uses ops.updates' scatter path.
+STATUS — experimental, opt-in via LIGHTFM_TPU_PALLAS_UPDATE=1 (adagrad,
+alpha==0, TPU only).  In an isolated update-only scan this kernel measures
+1.5x faster than the XLA scatter (7.4ms vs 11.0ms per [262144, 72]-touch
+step on v5e, including its sort), and it runs correctly standalone and
+inside a bare lax.scan at full shapes; but composed into the complete WARP
+epoch it currently fails with an opaque TPU runtime INVALID_ARGUMENT (and,
+at default VMEM limits, a Mosaic scoped-stack OOM), so the default training
+path keeps ops.updates' XLA scatters.  Kept with differential tests as the
+starting point for a double-buffered rewrite.
 """
 
 from __future__ import annotations
@@ -196,6 +196,9 @@ def adagrad_update_pallas(
     new_table, new_acc = pl.pallas_call(
         functools.partial(_update_kernel, learning_rate=learning_rate),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(table.shape, table.dtype),
             jax.ShapeDtypeStruct(acc.shape, acc.dtype),

@@ -70,6 +70,24 @@ def sparse_update(
     mask_f = mask.astype(table.dtype)[:, None]  # [M, 1]
     wg = (w * mask)[:, None] * g  # [M, W]; masked touches contribute 0
 
+    import os
+
+    if (
+        os.environ.get("LIGHTFM_TPU_PALLAS_UPDATE") == "1"
+        and not adadelta
+        and alpha == 0.0
+        and not squeeze
+        and jax.default_backend() == "tpu"
+    ):
+        # Experimental opt-in (see ops.pallas_update STATUS note).
+        from lightfm_tpu.ops.pallas_update import adagrad_update_pallas
+
+        table, acc = adagrad_update_pallas(
+            table, acc, idx, wg, learning_rate=learning_rate
+        )
+        zero = jnp.float32(0.0)
+        return table, acc, mom, zero, zero
+
     if not adadelta:
         # adagrad (template:376-389, 436-449); accumulators initialised to 1
         # at model init (`lightfm/lightfm.py:308-312`).
