@@ -142,6 +142,9 @@ class LightFM:
 
     def _reset_state(self):
         self._state: ModelState | None = None
+        # recommend()'s catalog representations / compressed index, rebuilt
+        # lazily whenever the model state changes.
+        self._serving_cache: dict = {}
 
     def _hp(self) -> Hyperparams:
         return Hyperparams(
@@ -190,6 +193,7 @@ class LightFM:
         else:
             table = table.at[:, -1].set(value)
         self._state = self._state._replace(**{attr: table})
+        self._serving_cache = {}
 
     # ------------------------------------------------------------------
     # Input coercion / validation (mirrors lightfm.py:314-472)
@@ -441,6 +445,7 @@ class LightFM:
 
         # Throughput counter (the _check_finite sync makes wall time honest).
         self.fit_stats_ = stats.finish()
+        self._serving_cache = {}
         return self
 
     # ------------------------------------------------------------------
@@ -635,8 +640,17 @@ class LightFM:
         uid = jnp.asarray(user_ids)
         if mode == "auto":
             mode = "exact" if n_items <= 16384 else "approx"
+        # Cache catalog structures across calls for the identity-features
+        # serving case (invalidated whenever model state changes).
+        cacheable = item_features is None or self._is_identity(item_features)
         if mode == "compressed":
-            index = retrieval.build_compressed_index(self._state, item_feats, n_items)
+            index = self._serving_cache.get(("index", n_items)) if cacheable else None
+            if index is None:
+                index = retrieval.build_compressed_index(
+                    self._state, item_feats, n_items
+                )
+                if cacheable:
+                    self._serving_cache[("index", n_items)] = index
             scores, ids = retrieval.top_k_compressed(
                 self._state, user_feats, index, uid, k,
                 exclude_idx=exclude_idx, rerank_mult=rerank_mult,
@@ -648,9 +662,19 @@ class LightFM:
                     self.mesh, exclude_idx=exclude_idx, method=mode,
                 )
             else:
+                catalog = (
+                    self._serving_cache.get(("catalog", n_items))
+                    if cacheable
+                    else None
+                )
+                if catalog is None and cacheable:
+                    catalog = retrieval.build_catalog(
+                        self._state, item_feats, n_items
+                    )
+                    self._serving_cache[("catalog", n_items)] = catalog
                 scores, ids = retrieval.top_k(
                     self._state, user_feats, item_feats, uid, k, n_items,
-                    exclude_idx=exclude_idx, method=mode,
+                    exclude_idx=exclude_idx, method=mode, catalog=catalog,
                 )
         else:
             raise ValueError(f"Unknown retrieval mode: {mode!r}")

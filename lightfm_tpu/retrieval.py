@@ -110,6 +110,13 @@ def _top_k_dense(
     return jax.lax.top_k(scores, k)
 
 
+def build_catalog(state, item_feats, n_items: int, multiple: int = 128) -> jax.Array:
+    """Padded augmented catalog for repeated top-k serving (cacheable)."""
+    return _pad_catalog(
+        catalog_representations(state, item_feats, n_items), n_items, multiple
+    )
+
+
 def top_k(
     state,
     user_feats,
@@ -119,6 +126,7 @@ def top_k(
     n_items: int,
     exclude_idx: Optional[jax.Array] = None,
     method: str = "exact",
+    catalog: Optional[jax.Array] = None,
 ):
     """Top-k items for a batch of users.
 
@@ -126,9 +134,13 @@ def top_k(
     sentinel-padded [B, P] int32 array of per-user items to exclude (e.g.
     train positives), sentinel >= n_items.  ``method="approx"`` uses the
     TPU's native approximate top-k with exact rerank (recall ~0.99).
+    Pass a prebuilt ``catalog`` (see :func:`build_catalog`) to amortise the
+    representation build across serving calls.
     """
-    item_aug = _pad_catalog(
-        catalog_representations(state, item_feats, n_items), n_items, 128
+    item_aug = (
+        catalog
+        if catalog is not None
+        else build_catalog(state, item_feats, n_items)
     )
     return _top_k_dense(
         state, user_feats, item_aug, user_ids, exclude_idx, k, n_items, method
