@@ -166,3 +166,62 @@ def test_adagrad_update_pallas_matches_scatter():
     )
     assert np.allclose(np.asarray(t2), t_ref, atol=1e-5)
     assert np.allclose(np.asarray(a2), a_ref, atol=1e-5)
+
+
+def test_warp_fit_fused_learns():
+    # Interpret-mode statistical test of the experimental whole-fit
+    # megakernel (ops/pallas_train.py): must reach the same AUC
+    # neighbourhood as the XLA path on a planted dataset.
+    import scipy.sparse as sp
+    from lightfm_tpu.ops.pallas_train import warp_fit_fused
+    from lightfm_tpu.sparse import pad_csr_sorted
+    from lightfm_tpu.state import init_state
+
+    rng = np.random.RandomState(7)
+    nu, ni, d = 120, 100, 6
+    top = np.argsort(-(rng.randn(nu, d) @ rng.randn(ni, d).T), axis=1)
+    rows = np.repeat(np.arange(nu), 10)
+    cols = top[:, :10].ravel()
+    train = sp.csr_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(nu, ni)
+    )
+
+    state = init_state(8, ni, nu, np.random.RandomState(0), adagrad=True)
+    coo = train.tocoo()
+    B, epochs, K = 128, 8, 10
+    n = coo.nnz
+    n_pad = ((n + B - 1) // B) * B
+    packed = np.zeros((8, n_pad), np.int32)
+    packed[0, :n] = coo.row
+    packed[1, :n] = coo.col
+    packed[2, :n] = np.ones(n, np.float32).view(np.int32)
+    packed[3, :n] = np.ones(n, np.float32).view(np.int32)
+    packed[4, :n] = 1
+    prng = np.random.RandomState(10)
+    steps = []
+    for _ in range(epochs):
+        shuf = packed[:, prng.permutation(n_pad)]
+        steps.append(shuf.reshape(8, n_pad // B, B).transpose(1, 0, 2))
+    batches = jnp.asarray(np.concatenate(steps, 0))
+    n_steps = batches.shape[0]
+    negs = jnp.asarray(
+        prng.randint(0, ni, size=(n_steps, 1, K * B)).astype(np.int32)
+    )
+    positives = jnp.asarray(np.asarray(pad_csr_sorted(train, pad_multiple=8).idx))
+
+    u_tab, u_acc, i_tab, i_acc = warp_fit_fused(
+        state.user_table, state.user_acc, state.item_table, state.item_acc,
+        batches, negs, positives,
+        n_items=ni, max_sampled=K, learning_rate=0.05, interpret=True,
+    )
+    u, it = np.asarray(u_tab), np.asarray(i_tab)
+    scores = u[:, :-1] @ it[:, :-1].T + u[:, -1:] + it[None, :, -1]
+    aucs = []
+    for uu in range(nu):
+        pos = train.indices[train.indptr[uu] : train.indptr[uu + 1]]
+        mask = np.ones(ni, bool)
+        mask[pos] = False
+        aucs.append((scores[uu][pos][:, None] > scores[uu][mask][None, :]).mean())
+    assert np.mean(aucs) > 0.85
+    assert np.isfinite(u).all() and np.isfinite(it).all()
+    assert (np.asarray(u_acc) >= 1.0).all()  # adagrad accumulators grew
