@@ -35,7 +35,8 @@ CYTHON_DTYPE = np.float32  # the reference's on-disk dtype; kept for parity
 
 # Public attribute name -> (internal fused array, column view).  The
 # reference exposes 12 separate arrays (`lightfm/lightfm.py:243-257`);
-# internally biases live in column D of each table (see lightfm_tpu.state).
+# internally biases live in the LAST column of each width-padded table
+# (see lightfm_tpu.state.table_width).
 _FIELD_MAP = {
     "item_embeddings": ("item_table", "emb"),
     "item_biases": ("item_table", "bias"),
