@@ -22,14 +22,16 @@ update bit-faithful to the XLA formulation up to summation order).
 Restrictions: adagrad schedule, no lazy-L2 alpha, 2-D tables.
 
 STATUS — experimental, opt-in via LIGHTFM_TPU_PALLAS_UPDATE=1 (adagrad,
-alpha==0, TPU only).  In an isolated update-only scan this kernel measures
-1.5x faster than the XLA scatter (7.4ms vs 11.0ms per [262144, 72]-touch
-step on v5e, including its sort), and it runs correctly standalone and
-inside a bare lax.scan at full shapes; but composed into the complete WARP
-epoch it currently fails with an opaque TPU runtime INVALID_ARGUMENT (and,
-at default VMEM limits, a Mosaic scoped-stack OOM), so the default training
-path keeps ops.updates' XLA scatters.  Kept with differential tests as the
-starting point for a double-buffered rewrite.
+alpha==0, TPU only).  Correct everywhere (differential-tested; full WARP
+epochs train correctly on v5e with the 32MB kernel VMEM limit).  In an
+isolated update-only scan it measures 1.5x faster than the XLA scatter
+(7.4ms vs 11.0ms per [262144, 72]-touch step, including its sort), but
+composed into the full epoch it is ~1.7x SLOWER end-to-end (1.47s vs
+0.84s per 5M-example epoch): the argsort + lane-pad wrapper runs on the
+critical path every step and the pallas_call is a pipeline barrier where
+XLA's scatters overlap with neighbouring ops.  The follow-up is fusing
+the sort into the kernel and double-buffering the chunk DMAs.  Default
+training keeps ops.updates' XLA scatters.
 """
 
 from __future__ import annotations
