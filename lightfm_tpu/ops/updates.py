@@ -6,10 +6,13 @@ sequential SGD steps inside a Hogwild loop; here a whole minibatch of touches
 is applied functionally.
 
 Design note (measured on v5e): inside the training scan XLA lowers the
-duplicate-index scatter-adds efficiently (donated loop carries); an explicit
-sort+segment-sum+unique-scatter rewrite measured ~2.7x SLOWER end-to-end
-(2.7s vs 1.8s per 5M-example epoch), even though the same rewrite wins ~75x
-on isolated scatters.  So updates scatter WITH duplicates and let XLA
+duplicate-index scatter-adds efficiently (donated loop carries).  THREE
+rewrites that win big in isolated scatter microbenchmarks all LOSE measured
+end-to-end: sort+segment-sum+unique-scatter (2.7x slower epoch),
+sort+indices_are_sorted=True (1.5x slower), and a Pallas one-hot-matmul
+block update (1.7x slower, ops/pallas_update.py) — in-scan, XLA overlaps
+the unsorted scatters with neighbouring ops, and any per-step sort/reorder
+sits on the critical path.  So updates scatter WITH duplicates and let XLA
 combine.  The semantics:
 
 - every "touch" is a tuple (table row ``idx``, feature weight ``w``, gradient
