@@ -639,6 +639,7 @@ class LightFM:
             exclude_idx = jnp.asarray(exclude)
 
         uid = jnp.asarray(user_ids)
+        k = min(int(k), int(n_items))  # never return catalog padding
         if mode == "auto":
             mode = "exact" if n_items <= 16384 else "approx"
         # Cache catalog structures across calls for the identity-features

@@ -170,3 +170,10 @@ def test_sharded_approx_topk_high_recall(model):
         [len(set(exact_ids[i]) & set(a_ids[i])) / k for i in range(len(user_ids))]
     )
     assert recall > 0.9
+
+
+def test_recommend_k_clamped_to_catalog(model):
+    scores, ids = model.recommend(np.arange(3), k=10_000, n_items=512)
+    assert ids.shape == (3, 512)
+    assert ids.max() < 512
+    assert np.isfinite(scores).all()
