@@ -177,3 +177,32 @@ def test_recommend_k_clamped_to_catalog(model):
     assert ids.shape == (3, 512)
     assert ids.max() < 512
     assert np.isfinite(scores).all()
+
+
+def test_streaming_topk_matches_dense(model, monkeypatch):
+    # Huge-catalog streaming path (per-block approx candidates + exact
+    # merge), forced via a tiny limit; high recall vs the dense exact path.
+    from lightfm_tpu import retrieval
+    from lightfm_tpu.sparse import identity_rows
+
+    monkeypatch.setattr(retrieval, "STREAMING_CATALOG_LIMIT", 100)
+    uf, itf = identity_rows(128), identity_rows(512)
+    uid = np.arange(32, dtype=np.int32)
+    import jax.numpy as jnp
+
+    s_d, i_d = retrieval._top_k_dense(
+        model._state, uf,
+        retrieval.build_catalog(model._state, itf, 512),
+        jnp.asarray(uid), None, 10, 512, "exact",
+    )
+    s_s, i_s = retrieval.top_k(
+        model._state, uf, itf, jnp.asarray(uid), 10, 512, item_block=128
+    )
+    recall = np.mean(
+        [
+            len(set(np.asarray(i_d[r])) & set(np.asarray(i_s[r]))) / 10
+            for r in range(len(uid))
+        ]
+    )
+    assert recall > 0.9
+    assert int(np.asarray(i_s).max()) < 512
