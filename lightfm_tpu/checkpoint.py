@@ -33,7 +33,11 @@ def save_model(model, path: str) -> None:
     header = {
         "format_version": FORMAT_VERSION,
         "params": {
-            k: v for k, v in model.get_params().items() if k != "random_state"
+            k: v
+            for k, v in model.get_params().items()
+            # random_state is serialized separately; mesh holds device
+            # handles (not JSON-serializable, not meaningful across hosts).
+            if k not in ("random_state", "mesh")
         },
         "fitted": model._state is not None,
     }

@@ -390,6 +390,9 @@ class LightFM:
                 self.random_state,
                 adagrad=(self.learning_schedule == "adagrad"),
             )
+        # Remembered for serving defaults (recommend's catalog size).
+        self.n_users_, self.n_items_ = n_users, n_items
+        self._item_features_used = not self._is_identity(item_features)
 
         if not item_features.shape[1] == self._state.item_table.shape[0]:
             raise ValueError("Incorrect number of features in item_features")
@@ -609,8 +612,15 @@ class LightFM:
                 n_items = item_features.shape[0]
             elif train_interactions is not None:
                 n_items = train_interactions.shape[1]
+            elif getattr(self, "n_items_", None) is not None:
+                n_items = self.n_items_
             else:
                 n_items = self._state.item_table.shape[0]
+        if item_features is None and getattr(self, "_item_features_used", False):
+            raise ValueError(
+                "This model was fitted with item_features; recommend() needs "
+                "the same item_features to build catalog representations."
+            )
         n_users = int(user_ids.max()) + 1 if len(user_ids) else 1
 
         (user_features, item_features) = self._construct_feature_matrices(
@@ -670,8 +680,15 @@ class LightFM:
                     else None
                 )
                 if catalog is None and cacheable:
+                    # Streaming-size catalogs must be padded to the tile
+                    # multiple or top_k rejects (and rebuilds) the cache.
+                    multiple = (
+                        131_072
+                        if n_items > retrieval.STREAMING_CATALOG_LIMIT
+                        else 128
+                    )
                     catalog = retrieval.build_catalog(
-                        self._state, item_feats, n_items
+                        self._state, item_feats, n_items, multiple=multiple
                     )
                     self._serving_cache[("catalog", n_items)] = catalog
                 scores, ids = retrieval.top_k(
@@ -714,6 +731,10 @@ class LightFM:
             "item_alpha": self.item_alpha,
             "user_alpha": self.user_alpha,
             "random_state": self.random_state,
+            "batch_size": self.batch_size,
+            "mesh": self.mesh,
+            "table_partition": self.table_partition,
+            "shard_examples": self.shard_examples,
         }
 
     def __sklearn_tags__(self):
@@ -746,6 +767,7 @@ class LightFM:
         d = dict(self.__dict__)
         state = d.pop("_state")
         d.pop("mesh", None)  # device handles are not picklable
+        d.pop("_serving_cache", None)  # rebuildable device buffers
         if state is None:
             d["_state_np"] = None
         else:
@@ -760,6 +782,7 @@ class LightFM:
         state_np = d.pop("_state_np", None)
         self.__dict__.update(d)
         self.__dict__.setdefault("mesh", None)
+        self.__dict__.setdefault("_serving_cache", {})
         if state_np is None:
             self._state = None
             return

@@ -113,6 +113,17 @@ def _augment_items(i_rep: jax.Array) -> jax.Array:
     return jnp.concatenate([i_rep, ones], axis=-1)
 
 
+def pad_catalog_neg_inf(item_aug: jax.Array, n_items: int, multiple: int) -> jax.Array:
+    """Pad catalog rows to ``multiple`` with rows that score -inf (bias col)."""
+    i_pad = _round_up(n_items, multiple)
+    pad_rows = i_pad - item_aug.shape[0]
+    if pad_rows > 0:
+        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
+        pad_block = pad_block.at[:, -2].set(-np.inf)
+        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
+    return item_aug
+
+
 def _catalog_representations(state, item_feats, n_items: int):
     """Augmented representations for catalog rows [0, n_items) (the test
     matrix's column count, template:1301)."""
@@ -140,14 +151,10 @@ def _ranks_flat(
     n_items: int,
     user_block: int,
 ):
-    item_aug = _catalog_representations(state, item_feats, n_items)  # [I, D+2]
-    i_pad = _round_up(n_items, 128)
-    pad_rows = i_pad - n_items
-    if pad_rows:
-        # Padding items score -inf (bias column) so they never outrank.
-        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
-        pad_block = pad_block.at[:, -2].set(-np.inf)
-        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
+    item_aug = pad_catalog_neg_inf(
+        _catalog_representations(state, item_feats, n_items), n_items, 128
+    )
+    i_pad = item_aug.shape[0]
 
     u_pad = user_ids.shape[0]
     n_ublocks = u_pad // user_block
@@ -208,13 +215,10 @@ def _ranks_blocked(
     executes identical ops identically, so both passes see the same floats
     and tie handling stays exact.
     """
-    item_aug = _catalog_representations(state, item_feats, n_items)
-    i_pad = _round_up(n_items, item_block)
-    pad_rows = i_pad - n_items
-    if pad_rows:
-        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
-        pad_block = pad_block.at[:, -2].set(-np.inf)
-        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
+    item_aug = pad_catalog_neg_inf(
+        _catalog_representations(state, item_feats, n_items), n_items, item_block
+    )
+    i_pad = item_aug.shape[0]
     n_iblocks = i_pad // item_block
     blk_reps = item_aug.reshape(n_iblocks, item_block, -1)
     blk_start = jnp.arange(n_iblocks, dtype=jnp.int32) * item_block
@@ -332,13 +336,14 @@ def _ranks_fused(
     """
     from lightfm_tpu.ops.pallas_rank import rank_counts_fused
 
-    item_aug = _catalog_representations(state, item_feats, n_items)
-    i_pad = _round_up(n_items, item_block)
-    pad_rows = i_pad - n_items
-    if pad_rows:
-        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
-        pad_block = pad_block.at[:, -2].set(-np.inf)
-        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
+    # ALWAYS pad at least one row: the exclusion sentinel below points at
+    # i_pad - 1, which must be a -inf pad row, not a real item (it would be
+    # whenever n_items is an exact multiple of item_block).
+    item_aug = pad_catalog_neg_inf(
+        _catalog_representations(state, item_feats, n_items), n_items + 1,
+        item_block,
+    )
+    i_pad = item_aug.shape[0]
 
     u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)  # [Upad, Wa]

@@ -33,45 +33,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from lightfm_tpu.ops.ranking import _augment_items, _augment_users, _round_up
-from lightfm_tpu.ops.representation import batch_representation, full_representations
+from lightfm_tpu.ops.ranking import (
+    _augment_users,
+    _catalog_representations as catalog_representations,
+    _f32_dot,
+    _round_up,
+    pad_catalog_neg_inf as _pad_catalog,
+)
+from lightfm_tpu.ops.representation import batch_representation
 from lightfm_tpu.sparse import IdentityRows, PaddedRows
 
 _NEG_INF = jnp.float32(-jnp.inf)
-
-
-def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:
-    """f32-exact serving matmul (see ops.ranking._f32_dot)."""
-    return jnp.dot(
-        a, b,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def catalog_representations(state, item_feats, n_items: int) -> jax.Array:
-    """Augmented [n_items, D+2] item representations: [emb, bias, 1]."""
-    # Lazy-reg scales are folded into the tables at every epoch end, so the
-    # serving path reads raw table rows.
-    if isinstance(item_feats, IdentityRows):
-        rep = state.item_table[:n_items]
-    else:
-        trimmed = PaddedRows(
-            item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
-        )
-        rep = full_representations(state.item_table, trimmed)
-    return _augment_items(rep)
-
-
-def _pad_catalog(item_aug: jax.Array, n_items: int, multiple: int) -> jax.Array:
-    """Pad the catalog so padded items score -inf (bias column)."""
-    i_pad = _round_up(n_items, multiple)
-    pad_rows = i_pad - n_items
-    if pad_rows:
-        pad_block = jnp.zeros((pad_rows, item_aug.shape[1]), item_aug.dtype)
-        pad_block = pad_block.at[:, -2].set(-np.inf)
-        item_aug = jnp.concatenate([item_aug, pad_block], axis=0)
-    return item_aug
 
 
 def _mask_exclusions(scores: jax.Array, exclude_idx: Optional[jax.Array], i_pad: int):
@@ -115,7 +87,7 @@ def _top_k_dense(
 STREAMING_CATALOG_LIMIT = 262_144
 
 
-@partial(jax.jit, static_argnames=("k", "n_items", "item_block"))
+@partial(jax.jit, static_argnames=("k", "n_items", "item_block", "method"))
 def _top_k_streaming(
     state,
     user_feats,
@@ -125,9 +97,14 @@ def _top_k_streaming(
     k: int,
     n_items: int,
     item_block: int,
+    method: str = "approx",
 ):
-    """Blocked top-k for huge catalogs: per-block approx_max_k candidates,
-    one exact merge.  Peak memory is O(B * item_block), not O(B * I)."""
+    """Blocked top-k for huge catalogs: per-block candidates, one exact
+    merge.  Peak memory is O(B * item_block), not O(B * I).  With
+    ``method="exact"`` the per-block candidates use the (much slower)
+    sort-based top_k, making the overall result exactly the global top-k;
+    ``"approx"`` uses the hardware approximate top-k (recall ~0.95+ per
+    block).  The merge is exact either way."""
     u_rep = batch_representation(state.user_table, user_feats, user_ids)
     u_aug = _augment_users(u_rep)  # [B, D+2]
     i_pad = item_aug.shape[0]
@@ -151,7 +128,10 @@ def _top_k_streaming(
             scores = scores.at[rows, jnp.minimum(local, item_block)].set(
                 _NEG_INF, mode="drop"
             )
-        s, i = jax.lax.approx_max_k(scores, kb, recall_target=0.95)
+        if method == "exact":
+            s, i = jax.lax.top_k(scores, min(k, item_block))
+        else:
+            s, i = jax.lax.approx_max_k(scores, kb, recall_target=0.95)
         return None, (s, i + start)
 
     _, (cand_s, cand_i) = jax.lax.scan(body, None, (blk, starts))
@@ -203,7 +183,7 @@ def top_k(
         )
         return _top_k_streaming(
             state, user_feats, item_aug, user_ids, exclude_idx, k, n_items,
-            item_block,
+            item_block, method,
         )
     item_aug = (
         catalog
@@ -360,14 +340,19 @@ def _top_k_compressed(
     c = min(rerank_mult * k, i_pad)
     # approx_max_k: the TPU's native PartialReduce — vastly cheaper than a
     # full sort-based top_k for wide catalogs; stage 2 re-scores exactly.
-    _, cand = jax.lax.approx_max_k(coarse, c, recall_target=0.95)  # [B, c]
+    cs, cand = jax.lax.approx_max_k(coarse, c, recall_target=0.95)  # [B, c]
 
-    # Stage 2: exact rerank of survivors.
+    # Stage 2: exact rerank of survivors.  Candidates whose COARSE score was
+    # -inf are excluded items (train positives) or padding that leaked in
+    # because fewer than c finite candidates existed — they must stay
+    # excluded here, not get re-scored back into the top-k.
     cand_rep = index.item_aug[cand]  # [B, c, D+2]
     exact = jnp.einsum(
         "bd,bcd->bc", u_aug, cand_rep, precision=jax.lax.Precision.HIGHEST
     )
-    exact = jnp.where(cand < index.n_items, exact, _NEG_INF)
+    exact = jnp.where(
+        (cand < index.n_items) & jnp.isfinite(cs), exact, _NEG_INF
+    )
     s, j = jax.lax.top_k(exact, k)
     return s, jnp.take_along_axis(cand, j, axis=1)
 

@@ -243,3 +243,21 @@ def test_representations_roundtrip():
     feats = sp.identity(mat.shape[1], format="csr", dtype=np.float32)
     biases2, emb2 = model.get_item_representations(features=feats)
     assert np.allclose(emb, emb2, atol=1e-6)
+
+
+def test_get_params_covers_all_constructor_args():
+    # sklearn contract: clone() rebuilds from get_params(); every
+    # constructor argument must round-trip (review regression).
+    import inspect
+
+    sig = inspect.signature(LightFM.__init__)
+    ctor_args = {p for p in sig.parameters if p != "self"}
+    model = LightFM(batch_size=1024, table_partition="rows", shard_examples=True)
+    params = model.get_params()
+    assert ctor_args == set(params)
+    clone = LightFM(**params)
+    assert clone.batch_size == 1024
+    assert clone.table_partition == "rows"
+    assert clone.shard_examples is True
+    model.set_params(batch_size=2048)
+    assert model.batch_size == 2048

@@ -225,3 +225,72 @@ def test_warp_fit_fused_learns():
     assert np.mean(aucs) > 0.85
     assert np.isfinite(u).all() and np.isfinite(it).all()
     assert (np.asarray(u_acc) >= 1.0).all()  # adagrad accumulators grew
+
+
+def test_ranks_fused_exact_multiple_of_item_block():
+    # Review regression: when n_items is an exact multiple of item_block the
+    # train-exclusion sentinel row must still be -inf padding, not the last
+    # real item (which silently corrupted ranks).
+    import scipy.sparse as sp
+    from lightfm_tpu.ops import ranking
+    from lightfm_tpu.sparse import identity_rows
+    from lightfm_tpu.state import init_state
+
+    rng = np.random.RandomState(1)
+    n_users, n_items, T = 16, 256, 3  # n_items % item_block(128) == 0
+    rows = np.repeat(np.arange(n_users), T)
+    cols = np.concatenate(
+        [rng.choice(n_items, T, replace=False) for _ in range(n_users)]
+    )
+    test = sp.csr_matrix(
+        (np.ones(n_users * T, np.float32), (rows, cols)), shape=(n_users, n_items)
+    )
+    # Train rows of VARYING lengths so sentinel padding slots exist.
+    tr_rows, tr_cols = [], []
+    for u in range(n_users):
+        for j in range(u % 4):
+            c = (cols[u * T] + 13 + j) % n_items
+            tr_rows.append(u)
+            tr_cols.append(c)
+    train = sp.csr_matrix(
+        (np.ones(len(tr_rows), np.float32), (tr_rows, tr_cols)),
+        shape=(n_users, n_items),
+    )
+    train = train - train.multiply(test)
+    train.eliminate_zeros()
+    train = sp.csr_matrix(train)
+
+    state = init_state(8, n_items, n_users, rng, adagrad=True)
+    uf, itf = identity_rows(n_users), identity_rows(n_items)
+
+    lengths = np.diff(test.indptr)
+    user_block = 16
+    test_idx = np.zeros((n_users, T), np.int32)
+    test_valid = np.zeros((n_users, T), bool)
+    row_of = np.repeat(np.arange(n_users), lengths)
+    pos_in_row = np.arange(test.nnz) - np.repeat(test.indptr[:-1], lengths)
+    test_idx[row_of, pos_in_row] = test.indices
+    test_valid[row_of, pos_in_row] = True
+    tr_lengths = np.diff(train.indptr)
+    Ptr = max(1, int(tr_lengths.max()))
+    train_idx = np.full((n_users, Ptr), n_items, np.int32)
+    trow = np.repeat(np.arange(n_users), tr_lengths)
+    tpos = np.arange(train.nnz) - np.repeat(train.indptr[:-1], tr_lengths)
+    train_idx[trow, tpos] = train.indices
+    user_ids = np.arange(n_users, dtype=np.int32)
+
+    args = (
+        state, uf, itf,
+        jnp.asarray(user_ids), jnp.asarray(test_idx),
+        jnp.asarray(test_valid), jnp.asarray(train_idx),
+    )
+    fused = np.asarray(
+        ranking._ranks_fused(
+            *args, n_items=n_items, user_block=user_block, item_block=128,
+            interpret=True,
+        )
+    )
+    flat = np.asarray(
+        ranking._ranks_flat(*args, n_items=n_items, user_block=user_block)
+    )
+    assert np.abs(fused - flat).max() <= 1

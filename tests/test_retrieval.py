@@ -206,3 +206,63 @@ def test_streaming_topk_matches_dense(model, monkeypatch):
     )
     assert recall > 0.9
     assert int(np.asarray(i_s).max()) < 512
+
+
+def test_compressed_exclusions_never_leak(model):
+    # Review regression: rerank must not resurrect excluded items even when
+    # the coarse stage runs out of finite candidates (rerank_mult*k exceeds
+    # the user's non-excluded catalog).
+    train_csr = _train.tocsr()
+    user_ids = np.arange(16, dtype=np.int32)
+    _, ids = model.recommend(
+        user_ids, k=100, n_items=512, mode="compressed", rerank_mult=8,
+        train_interactions=train_csr,
+    )
+    for i, u in enumerate(user_ids):
+        positives = set(
+            train_csr.indices[train_csr.indptr[u] : train_csr.indptr[u + 1]]
+        )
+        assert not positives.intersection(ids[i].tolist())
+
+
+def test_streaming_exact_is_exact(model, monkeypatch):
+    # Review regression: mode="exact" through the streaming path must return
+    # the true global top-k (per-tile exact + exact merge), not approx.
+    from lightfm_tpu import retrieval
+    from lightfm_tpu.sparse import identity_rows
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(retrieval, "STREAMING_CATALOG_LIMIT", 100)
+    uf, itf = identity_rows(128), identity_rows(512)
+    uid = np.arange(16, dtype=np.int32)
+    s_d, i_d = retrieval._top_k_dense(
+        model._state, uf, retrieval.build_catalog(model._state, itf, 512),
+        jnp.asarray(uid), None, 10, 512, "exact",
+    )
+    s_s, i_s = retrieval.top_k(
+        model._state, uf, itf, jnp.asarray(uid), 10, 512,
+        method="exact", item_block=128,
+    )
+    assert np.allclose(np.sort(np.asarray(s_d), 1), np.sort(np.asarray(s_s), 1),
+                       atol=1e-5)
+
+
+def test_recommend_requires_features_for_hybrid_models():
+    feats = _data["item_features"]
+    m = LightFM(loss="warp", no_components=8, random_state=SEED)
+    # genre-only features (non-identity)
+    genre = sp.csr_matrix(
+        (np.ones(512, np.float32),
+         (np.arange(512), np.arange(512) % 7)), shape=(512, 7),
+    )
+    m.fit(_train, item_features=genre, epochs=1)
+    with pytest.raises(ValueError, match="item_features"):
+        m.recommend(np.arange(4), k=5)
+    s, i = m.recommend(np.arange(4), k=5, item_features=genre)
+    assert i.shape == (4, 5)
+
+
+def test_recommend_defaults_to_fitted_catalog(model):
+    # n_items defaults to the fitted interaction matrix's width.
+    s, i = model.recommend(np.arange(4), k=5)
+    assert i.max() < _train.shape[1]
