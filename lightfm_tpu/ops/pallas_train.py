@@ -46,18 +46,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lightfm_tpu.config import MAX_LOSS
 
-# Total VMEM budget for the resident state (tables + accumulators + the
-# largest per-step temporaries); models above this use the XLA path.
-VMEM_STATE_BUDGET = 6 * 1024 * 1024
-
-
-def fits_vmem(n_users: int, n_items: int, width: int, batch_size: int) -> bool:
-    state_bytes = 4 * 4 * (n_users + n_items) * width  # 4 arrays f32
-    onehot_bytes = 4 * batch_size * max(_pad128(n_items), _pad128(n_users))
-    scores_bytes = 4 * batch_size * width * 4
-    return state_bytes + 3 * onehot_bytes + scores_bytes < VMEM_STATE_BUDGET
-
-
 def _pad128(x: int) -> int:
     return ((x + 127) // 128) * 128
 
