@@ -88,10 +88,14 @@ def main():
     # Warmup: compile the epoch executable (first TPU compile is slow).
     model.fit(train, epochs=epochs)
 
-    model = LightFM(loss="warp", no_components=10, random_state=10)
-    t0 = time.perf_counter()
-    model.fit(train, epochs=epochs)
-    elapsed = time.perf_counter() - t0
+    # Best of 3: remote-device round-trip jitter can dominate a single
+    # 0.2s measurement.
+    elapsed = float("inf")
+    for _ in range(3):
+        model = LightFM(loss="warp", no_components=10, random_state=10)
+        t0 = time.perf_counter()
+        model.fit(train, epochs=epochs)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     examples_per_sec = train.nnz * epochs / elapsed
 
