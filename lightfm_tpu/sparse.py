@@ -125,8 +125,20 @@ def identity_rows(n: int) -> IdentityRows:
     return IdentityRows(jnp.zeros((n,), dtype=jnp.int8))
 
 
-def pad_csr_sorted(csr, pad_multiple: int = 1) -> PaddedSortedRows:
-    """Convert a scipy CSR to sorted, sentinel-padded rows for membership tests."""
+def pad_csr_sorted(
+    csr, pad_multiple: int = 1, max_width: int | None = None
+) -> PaddedSortedRows:
+    """Convert a scipy CSR to sorted, sentinel-padded rows for membership tests.
+
+    ``max_width`` caps the padded row width: rows with more entries keep only
+    their first ``max_width`` (sorted) columns.  The membership test is then
+    approximate for those heavy rows — used for negative-sampling REJECTION,
+    where occasionally accepting a true positive as a negative is the same
+    class of statistical noise the reference's Hogwild racing tolerates,
+    while an uncapped width makes the [B, K, width] rejection compare
+    explode on heavy-user datasets (20k-interaction users in ML-25M).
+    ``lengths`` is clipped to the kept width so samplers stay in range.
+    """
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
@@ -135,15 +147,21 @@ def pad_csr_sorted(csr, pad_multiple: int = 1) -> PaddedSortedRows:
     n_rows, n_cols = csr.shape
     lengths = np.diff(csr.indptr).astype(np.int32)
     width = max(int(lengths.max()) if len(lengths) else 1, 1)
+    if max_width is not None:
+        width = min(width, max_width)
     width = _round_up(width, pad_multiple)
 
+    kept = np.minimum(lengths, width)
     idx = np.full((n_rows, width), n_cols, dtype=np.int32)
     if csr.nnz:
-        row_of = np.repeat(np.arange(n_rows), lengths)
-        pos_in_row = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lengths)
-        idx[row_of, pos_in_row] = csr.indices.astype(np.int32)
+        row_of = np.repeat(np.arange(n_rows), kept)
+        pos_in_row = np.arange(int(kept.sum())) - np.repeat(
+            np.cumsum(kept) - kept, kept
+        )
+        flat = np.repeat(csr.indptr[:-1], kept) + pos_in_row
+        idx[row_of, pos_in_row] = csr.indices[flat].astype(np.int32)
 
-    return PaddedSortedRows(jnp.asarray(idx), jnp.asarray(lengths), n_cols)
+    return PaddedSortedRows(jnp.asarray(idx), jnp.asarray(kept), n_cols)
 
 
 def in_positives(rows: PaddedSortedRows, row_ids: jax.Array, col_ids: jax.Array) -> jax.Array:

@@ -102,7 +102,12 @@ def build_train_data(
         csr = sp.csr_matrix(interactions_coo)
         if not csr.has_sorted_indices:
             csr = csr.sorted_indices()
-        positives = pad_csr_sorted(csr, pad_multiple=8)
+        # k-OS SAMPLES positives from this structure, so it needs the full
+        # rows; warp/bpr only REJECT against it, where a width cap is
+        # statistically safe and keeps the compare cost bounded on
+        # heavy-user datasets (see pad_csr_sorted).
+        max_width = None if hp.loss == "warp-kos" else 512
+        positives = pad_csr_sorted(csr, pad_multiple=8, max_width=max_width)
     if hp.loss == "bpr":
         train_items = jnp.asarray(interactions_coo.col.astype(np.int32))
 

@@ -93,3 +93,28 @@ def test_identity_rows_shape():
     assert rows.n_rows == 7
     assert rows.n_cols == 7
     assert rows.max_nnz == 1
+
+
+def test_pad_csr_sorted_width_cap():
+    rng = np.random.RandomState(0)
+    # one heavy row (40 entries), others light
+    rows = np.concatenate([np.zeros(40, int), [1, 2]])
+    cols = np.concatenate([np.arange(40) * 2, [5, 9]])
+    mat = sp.csr_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(3, 100)
+    )
+    capped = pad_csr_sorted(mat, pad_multiple=8, max_width=16)
+    assert capped.idx.shape[1] == 16
+    assert int(capped.lengths[0]) == 16  # clipped
+    assert int(capped.lengths[1]) == 1
+    # Kept entries are the first (sorted) 16 of the heavy row.
+    assert np.asarray(capped.idx)[0, :16].tolist() == (np.arange(16) * 2).tolist()
+    # Light rows keep exact membership.
+    got = np.asarray(
+        in_positives(
+            capped,
+            jnp.asarray([1, 1], dtype=jnp.int32),
+            jnp.asarray([5, 6], dtype=jnp.int32),
+        )
+    )
+    assert got.tolist() == [True, False]
