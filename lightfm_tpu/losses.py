@@ -6,18 +6,20 @@ TPU-native reformulation of the reference's per-sample Hogwild fit loops
 SGD with racy shared-memory writes, each step processes a whole minibatch:
 
 - WARP's "sample negatives until a margin violator is found" loop becomes a
-  single [B, max_sampled] negative draw; the first violating non-positive per
-  row is selected and the loss re-weighted by ``log(floor((n_items-1)/
-  (draws used)))``, exactly the reference's rank estimator (template:855-885);
+  single slot-major [max_sampled, B] negative draw; the first violating
+  non-positive per row is selected and the loss re-weighted by
+  ``log(floor((n_items-1)/(draws used)))``, exactly the reference's rank
+  estimator (template:855-885);
 - BPR's rejection sampling from the empirical positive item distribution
   (template:1123-1127) becomes a [B, tries] draw with first-accept selection;
 - k-OS's "sample n positives, qsort, take the k-th best" (template:969-1003)
   becomes a masked batched sort.
 
 Gradients match ``update`` (template:454-534) and ``warp_update``
-(template:537-649).  Representations and tables carry the bias as the last
-column, so one fused [B, D+1] gradient per table covers what the reference
-splits into ``update_biases`` + per-component ``update_features`` calls.
+(template:537-649).  Representations and tables carry the bias as the LAST
+column of the width-padded layout (state.table_width), so one fused [B, W]
+gradient per table covers what the reference splits into ``update_biases``
++ per-component ``update_features`` calls.
 Equivalence to the reference is statistical, not bitwise — the same bar the
 reference applies to its own Hogwild parallelism (its test_movielens.py:536).
 """
