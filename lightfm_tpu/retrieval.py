@@ -37,11 +37,9 @@ from lightfm_tpu.ops.ranking import (
     _augment_users,
     _catalog_representations as catalog_representations,
     _f32_dot,
-    _round_up,
     pad_catalog_neg_inf as _pad_catalog,
 )
 from lightfm_tpu.ops.representation import batch_representation
-from lightfm_tpu.sparse import IdentityRows, PaddedRows
 
 _NEG_INF = jnp.float32(-jnp.inf)
 
