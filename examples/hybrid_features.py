@@ -12,7 +12,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # run from th
 import numpy as np
 
 from lightfm_tpu import LightFM
-from lightfm_tpu.cross_validation import random_train_test_split
 from lightfm_tpu.evaluation import auc_score
 
 
@@ -23,11 +22,25 @@ def load():
         data = fetch_stackexchange("crossvalidated")
         return data["train"], data["test"], data["item_features"]
     except Exception:
+        # Offline stand-in with a genuine COLD-START split: hold out entire
+        # items, so collaborative filtering has nothing to learn for them
+        # and only shared metadata features can transfer.
+        import scipy.sparse as sp
+
         from lightfm_tpu.datasets import generate_synthetic
 
         data = generate_synthetic(seed=7)
-        train, test = random_train_test_split(
-            data["train"], test_percentage=0.2, random_state=0
+        inter = data["train"].tocoo()
+        rng = np.random.RandomState(0)
+        cold = rng.rand(inter.shape[1]) < 0.2
+        is_cold = cold[inter.col]
+        train = sp.coo_matrix(
+            (inter.data[~is_cold], (inter.row[~is_cold], inter.col[~is_cold])),
+            shape=inter.shape,
+        )
+        test = sp.coo_matrix(
+            (inter.data[is_cold], (inter.row[is_cold], inter.col[is_cold])),
+            shape=inter.shape,
         )
         return train, test, data["item_genre_features"]
 
