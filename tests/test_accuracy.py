@@ -284,3 +284,37 @@ def test_zero_weight_users_accumulate_no_gradient():
         assert np.allclose(model.user_bias_gradients[odd_idx], 1.0)
         assert not np.allclose(model.user_embedding_gradients[even_idx], 1.0)
         assert not np.allclose(model.user_bias_gradients[even_idx], 1.0)
+
+
+def test_hybrid_beats_cf_on_cold_start_items():
+    # Hold out entire items: CF has nothing to learn for them; shared
+    # metadata features must transfer (the reference's StackExchange
+    # hybrid contract, doc/examples/hybrid_crossvalidated.rst).
+    inter = _data["train"].tocoo()
+    rng = np.random.RandomState(0)
+    cold = rng.rand(inter.shape[1]) < 0.2
+    is_cold = cold[inter.col]
+    cold_train = sp.coo_matrix(
+        (inter.data[~is_cold], (inter.row[~is_cold], inter.col[~is_cold])),
+        shape=inter.shape,
+    )
+    cold_test = sp.coo_matrix(
+        (inter.data[is_cold], (inter.row[is_cold], inter.col[is_cold])),
+        shape=inter.shape,
+    ).tocsr()
+    feats = _data["item_genre_features"]
+
+    cf = LightFM(loss="warp", random_state=SEED).fit(cold_train, epochs=10)
+    cf_auc = auc_score(
+        cf, cold_test, train_interactions=cold_train.tocsr()
+    ).mean()
+
+    hy = LightFM(loss="warp", random_state=SEED)
+    hy.fit(cold_train, item_features=feats, epochs=10)
+    hy_auc = auc_score(
+        hy, cold_test, item_features=feats,
+        train_interactions=cold_train.tocsr(),
+    ).mean()
+
+    assert hy_auc > cf_auc + 0.1
+    assert hy_auc > 0.52
