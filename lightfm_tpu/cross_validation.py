@@ -1,4 +1,12 @@
-"""Dataset splitting functions (mirrors ``lightfm/cross_validation.py``)."""
+"""Dataset splitting utilities.
+
+Behavioral parity target: ``lightfm/cross_validation.py:18-80`` in the
+reference — a random, disjoint train/test partition of a COO interaction
+matrix, seedable so a sample-weight matrix can be split along identical
+lines by reusing the seed.  The implementation here is a fresh one built
+on a single index permutation rather than the reference's triple-array
+shuffle helper.
+"""
 
 from __future__ import annotations
 
@@ -8,46 +16,51 @@ import scipy.sparse as sp
 __all__ = ["random_train_test_split"]
 
 
-def _shuffle(uids, iids, data, random_state):
-    shuffle_indices = np.arange(len(uids))
-    random_state.shuffle(shuffle_indices)
-    return (uids[shuffle_indices], iids[shuffle_indices], data[shuffle_indices])
+def _as_random_state(random_state) -> np.random.RandomState:
+    if isinstance(random_state, np.random.RandomState):
+        return random_state
+    return np.random.RandomState(seed=random_state)
 
 
-def random_train_test_split(interactions, test_percentage=0.2, random_state=None):
-    """Randomly split interactions into disjoint train and test COO matrices.
+def random_train_test_split(
+    interactions: sp.spmatrix,
+    test_percentage: float = 0.2,
+    random_state=None,
+):
+    """Randomly partition ``interactions`` into disjoint train/test halves.
 
-    Semantics match `lightfm/cross_validation.py:18-80` — including the use of
-    a shared ``random_state`` seed to split a sample-weight matrix along the
-    same lines.
+    No effort is made to guarantee every user/item in the test half also
+    appears in the train half, so a partial cold-start test set is possible
+    (same caveat as the reference).  Pass the same ``random_state`` seed to
+    split a parallel sample-weight matrix identically.
+
+    Parameters
+    ----------
+    interactions : scipy.sparse matrix
+        Interactions to split (any sparse format; converted to COO).
+    test_percentage : float, optional
+        Fraction of interactions assigned to the test set.
+    random_state : int or numpy.random.RandomState, optional
+        Seed (or generator) controlling the permutation.
+
+    Returns
+    -------
+    (train, test) : pair of scipy.sparse.coo_matrix
     """
     if not sp.issparse(interactions):
         raise ValueError("Interactions must be a scipy.sparse matrix.")
 
-    if not isinstance(random_state, np.random.RandomState):
-        random_state = np.random.RandomState(seed=random_state)
+    coo = interactions.tocoo()
+    rng = _as_random_state(random_state)
 
-    interactions = interactions.tocoo()
+    order = rng.permutation(coo.nnz)
+    n_train = int((1.0 - test_percentage) * coo.nnz)
 
-    shape = interactions.shape
-    uids, iids, data = (interactions.row, interactions.col, interactions.data)
+    def _take(idx: np.ndarray) -> sp.coo_matrix:
+        return sp.coo_matrix(
+            (coo.data[idx], (coo.row[idx], coo.col[idx])),
+            shape=coo.shape,
+            dtype=coo.dtype,
+        )
 
-    uids, iids, data = _shuffle(uids, iids, data, random_state)
-
-    cutoff = int((1.0 - test_percentage) * len(uids))
-
-    train_idx = slice(None, cutoff)
-    test_idx = slice(cutoff, None)
-
-    train = sp.coo_matrix(
-        (data[train_idx], (uids[train_idx], iids[train_idx])),
-        shape=shape,
-        dtype=interactions.dtype,
-    )
-    test = sp.coo_matrix(
-        (data[test_idx], (uids[test_idx], iids[test_idx])),
-        shape=shape,
-        dtype=interactions.dtype,
-    )
-
-    return train, test
+    return _take(order[:n_train]), _take(order[n_train:])

@@ -1,9 +1,19 @@
-"""Dataset construction utilities (mirrors ``lightfm/data.py``).
+"""Dataset construction utilities.
 
-Builds the id/feature-name ↔ internal-index mappings and the COO interaction
-/ CSR feature matrices the model consumes.  Insertion-ordered dict mapping
-semantics match the reference exactly (setdefault ordering, `data.py:229-257`)
-so externally-visible index assignment is identical.
+Behavioral parity target: ``lightfm/data.py`` in the reference — external
+id / feature-name ↔ internal-index mappings with first-seen (insertion)
+ordering, COO interaction + weight matrices, and CSR feature matrices with
+an optional identity block and L1 row normalisation.
+
+The implementation is built around two paths:
+
+* a **vectorised native path** for numpy integer-array inputs, which routes
+  id translation through the C++ ingest engine (``native/ingest.cpp``) and
+  assembles matrices with whole-array numpy ops; and
+* a **generic iterable path** for arbitrary hashable ids, organised as a
+  single triple-collector per matrix (``_extend`` for mappings,
+  ``_entries`` for features) rather than the reference's per-element
+  builder classes.
 """
 
 from __future__ import annotations
@@ -15,49 +25,87 @@ import scipy.sparse as sp
 
 __all__ = ["Dataset"]
 
+# array.array typecodes for the dtypes the incremental builder accepts.
+_TYPECODES = {np.int32: "i", np.int64: "l", np.float32: "f", np.float64: "d"}
+
 
 class _IncrementalCOOMatrix:
-    """Append-only COO builder over compact typed arrays (`data.py:10-52`)."""
+    """Append-only COO accumulator backed by compact typed arrays.
+
+    Parity: ``lightfm/data.py:10-52`` (same role; rebuilt around a dtype
+    typecode table and a zero-copy numpy view at conversion time).
+    """
 
     def __init__(self, shape, dtype):
-        if dtype is np.int32:
-            type_flag = "i"
-        elif dtype is np.int64:
-            type_flag = "l"
-        elif dtype is np.float32:
-            type_flag = "f"
-        elif dtype is np.float64:
-            type_flag = "d"
-        else:
+        typecode = _TYPECODES.get(dtype)
+        if typecode is None:
             raise Exception("Dtype not supported.")
-
         self.shape = shape
         self.dtype = dtype
-        self.rows = array.array("i")
-        self.cols = array.array("i")
-        self.data = array.array(type_flag)
+        self.rows, self.cols = array.array("i"), array.array("i")
+        self.data = array.array(typecode)
 
     def append(self, i, j, v):
-        m, n = self.shape
-        if i >= m or j >= n:
+        if not (i < self.shape[0] and j < self.shape[1]):
             raise Exception("Index out of bounds")
         self.rows.append(i)
         self.cols.append(j)
         self.data.append(v)
 
-    def tocoo(self):
-        rows = np.frombuffer(self.rows, dtype=np.int32)
-        cols = np.frombuffer(self.cols, dtype=np.int32)
-        data = np.frombuffer(self.data, dtype=self.dtype)
-        return sp.coo_matrix((data, (rows, cols)), shape=self.shape)
+    def tocoo(self) -> sp.coo_matrix:
+        triplet = (
+            np.frombuffer(self.data, dtype=self.dtype),
+            (
+                np.frombuffer(self.rows, dtype=np.int32),
+                np.frombuffer(self.cols, dtype=np.int32),
+            ),
+        )
+        return sp.coo_matrix(triplet, shape=self.shape)
 
     def __len__(self):
         return len(self.data)
 
 
+def _is_array_input(data) -> bool:
+    """True for the TPU-native fast-path input: a 2/3-tuple of numpy arrays."""
+    return (
+        isinstance(data, tuple)
+        and len(data) in (2, 3)
+        and all(isinstance(a, np.ndarray) for a in data)
+    )
+
+
+def _mapping_keys_i64(mapping):
+    """Mapping keys as an int64 array, or None when any key isn't an int."""
+    try:
+        return np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    except (TypeError, ValueError, OverflowError):
+        return None
+
+
+def _translate(mapping, ids, missing_msg: str) -> np.ndarray:
+    """Vectorised external-id → internal-index lookup via the native engine.
+
+    Raises ValueError (formatted with the first offending id) on misses.
+    """
+    from lightfm_tpu import native
+
+    keys = _mapping_keys_i64(mapping)
+    assert keys is not None and native.AVAILABLE  # caller pre-checked
+    idx = native.lookup_ids(keys, np.asarray(ids, dtype=np.int64))
+    misses = idx < 0
+    if misses.any():
+        raise ValueError(missing_msg.format(np.asarray(ids)[misses][0]))
+    return idx
+
+
 class _FeatureBuilder:
-    """Assembles an entity x feature CSR with optional identity block and
-    L1 row normalisation (`data.py:55-133`)."""
+    """Assembles an entity × feature CSR matrix.
+
+    Parity: ``lightfm/data.py:55-133``.  Collects (row, col, weight)
+    triples into flat lists — identity block first, then the user-supplied
+    features — and normalises rows with direct numpy on the CSR buffers.
+    """
 
     def __init__(self, id_mapping, feature_mapping, identity_features, normalize, entity_type):
         self._id_mapping = id_mapping
@@ -69,81 +117,92 @@ class _FeatureBuilder:
     def features_shape(self):
         return len(self._id_mapping), len(self._feature_mapping)
 
-    def _iter_features(self, features):
-        if isinstance(features, dict):
-            yield from features.items()
-        else:
-            for feature_name in features:
-                yield (feature_name, 1.0)
+    def _entries(self, data):
+        """Yield (row, col, weight) triples for the iterable input form."""
+        if self._identity_features:
+            for key, row in self._id_mapping.items():
+                yield row, self._feature_mapping[key], 1.0
 
-    def _process_features(self, datum):
-        if len(datum) != 2:
-            raise ValueError(
-                "Expected tuples of ({}_id, features), "
-                "got {}.".format(self._entity_type, datum)
-            )
-
-        entity_id, features = datum
-
-        if entity_id not in self._id_mapping:
-            raise ValueError(
-                "{entity_type} id {entity_id} not in {entity_type} id mappings.".format(
-                    entity_type=self._entity_type, entity_id=entity_id
-                )
-            )
-
-        idx = self._id_mapping[entity_id]
-
-        for feature, weight in self._iter_features(features):
-            if feature not in self._feature_mapping:
+        for datum in data:
+            if len(datum) != 2:
                 raise ValueError(
-                    "Feature {} not in feature mapping. Call fit first.".format(feature)
+                    f"Expected tuples of ({self._entity_type}_id, features), "
+                    f"got {datum}."
                 )
-            yield (idx, self._feature_mapping[feature], weight)
+            entity_id, features = datum
+            row = self._id_mapping.get(entity_id)
+            if row is None:
+                raise ValueError(
+                    f"{self._entity_type} id {entity_id} not in "
+                    f"{self._entity_type} id mappings."
+                )
+            pairs = (
+                features.items()
+                if isinstance(features, dict)
+                else ((name, 1.0) for name in features)
+            )
+            for name, weight in pairs:
+                col = self._feature_mapping.get(name)
+                if col is None:
+                    raise ValueError(
+                        f"Feature {name} not in feature mapping. Call fit first."
+                    )
+                yield row, col, weight
 
-    def _build_arrays(self, entity_ids, feature_ids, weights):
+    def _finalize(self, rows, cols, weights) -> sp.csr_matrix:
+        mat = sp.coo_matrix(
+            (
+                np.asarray(weights, dtype=np.float32),
+                (np.asarray(rows, dtype=np.int32), np.asarray(cols, dtype=np.int32)),
+            ),
+            shape=self.features_shape(),
+        ).tocsr()
+        if self._normalize:
+            if np.any(np.diff(mat.indptr) == 0):
+                raise ValueError(
+                    "Cannot normalize feature matrix: some rows have zero norm. "
+                    "Ensure that features were provided for all entries."
+                )
+            norms = np.abs(mat).sum(axis=1).A.ravel()
+            norms[norms == 0.0] = 1.0  # stored-zero rows stay zero, not NaN
+            inv_norm = 1.0 / norms
+            mat.data = (mat.data * np.repeat(inv_norm, np.diff(mat.indptr))).astype(
+                np.float32
+            )
+        return mat
+
+    def _build_arrays(self, entity_ids, feature_ids, weights) -> sp.csr_matrix:
         """Vectorised build from numpy id arrays via the native engine."""
         from lightfm_tpu import native
 
-        def keys_i64(mapping):
-            try:
-                return np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-            except (TypeError, ValueError, OverflowError):
-                return None
-
-        ekeys = keys_i64(self._id_mapping)
-        fkeys = keys_i64(self._feature_mapping)
-        if ekeys is None or fkeys is None or not native.AVAILABLE:
+        if (
+            not native.AVAILABLE
+            or _mapping_keys_i64(self._id_mapping) is None
+            or _mapping_keys_i64(self._feature_mapping) is None
+        ):
+            # Mapping keys are not ints (or no compiler): reroute through
+            # the generic iterable path.
             if weights is None:
-                it = ((e, [f]) for e, f in zip(entity_ids, feature_ids))
-            else:
-                it = (
-                    (e, {f: w})
-                    for e, f, w in zip(entity_ids, feature_ids, weights)
-                )
-            return self.build(it)
+                return self.build((e, [f]) for e, f in zip(entity_ids, feature_ids))
+            return self.build(
+                (e, {f: w}) for e, f, w in zip(entity_ids, feature_ids, weights)
+            )
 
-        eidx = native.lookup_ids(ekeys, np.asarray(entity_ids, dtype=np.int64))
-        fidx = native.lookup_ids(fkeys, np.asarray(feature_ids, dtype=np.int64))
-        if (eidx < 0).any():
-            bad = np.asarray(entity_ids)[eidx < 0][0]
-            raise ValueError(
-                "{entity_type} id {entity_id} not in {entity_type} id mappings.".format(
-                    entity_type=self._entity_type, entity_id=bad
-                )
-            )
-        if (fidx < 0).any():
-            bad = np.asarray(feature_ids)[fidx < 0][0]
-            raise ValueError(
-                "Feature {} not in feature mapping. Call fit first.".format(bad)
-            )
+        rows = _translate(
+            self._id_mapping,
+            entity_ids,
+            "%s id {} not in %s id mappings." % (self._entity_type, self._entity_type),
+        )
+        cols = _translate(
+            self._feature_mapping,
+            feature_ids,
+            "Feature {} not in feature mapping. Call fit first.",
+        )
         w = (
-            np.ones(len(eidx), dtype=np.float32)
+            np.ones(rows.size, dtype=np.float32)
             if weights is None
             else np.asarray(weights, dtype=np.float32)
         )
-
-        rows, cols, vals = [eidx], [fidx], [w]
         if self._identity_features:
             id_rows = np.fromiter(
                 self._id_mapping.values(), dtype=np.int32, count=len(self._id_mapping)
@@ -151,54 +210,30 @@ class _FeatureBuilder:
             id_cols = np.array(
                 [self._feature_mapping[k] for k in self._id_mapping], dtype=np.int32
             )
-            rows.insert(0, id_rows)
-            cols.insert(0, id_cols)
-            vals.insert(0, np.ones(len(id_rows), dtype=np.float32))
-        mat = sp.coo_matrix(
-            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-            shape=self.features_shape(),
-        ).tocsr()
-        return self._normalized(mat)
+            rows = np.concatenate([id_rows, rows])
+            cols = np.concatenate([id_cols, cols])
+            w = np.concatenate([np.ones(id_rows.size, dtype=np.float32), w])
+        return self._finalize(rows, cols, w)
 
-    def _normalized(self, features):
-        if self._normalize:
-            if np.any(features.getnnz(1) == 0):
-                raise ValueError(
-                    "Cannot normalize feature matrix: some rows have zero norm. "
-                    "Ensure that features were provided for all entries."
-                )
-            row_sums = np.abs(features).sum(axis=1).A.ravel()
-            scale = np.repeat(1.0 / row_sums, np.diff(features.indptr))
-            features.data = (features.data * scale).astype(np.float32)
-        return features
-
-    def build(self, data):
-        if (
-            isinstance(data, tuple)
-            and len(data) in (2, 3)
-            and all(isinstance(a, np.ndarray) for a in data)
-        ):
+    def build(self, data) -> sp.csr_matrix:
+        if _is_array_input(data):
             return self._build_arrays(
                 data[0], data[1], data[2] if len(data) == 3 else None
             )
-
-        features = _IncrementalCOOMatrix(self.features_shape(), np.float32)
-
-        if self._identity_features:
-            for _id, idx in self._id_mapping.items():
-                features.append(idx, self._feature_mapping[_id], 1.0)
-
-        for datum in data:
-            for entity_idx, feature_idx, weight in self._process_features(datum):
-                features.append(entity_idx, feature_idx, weight)
-
-        return self._normalized(features.tocoo().tocsr())
+        rows, cols, weights = [], [], []
+        for r, c, w in self._entries(data):
+            rows.append(r)
+            cols.append(c)
+            weights.append(w)
+        return self._finalize(rows, cols, weights)
 
 
 class Dataset:
     """Tool for building interaction and feature matrices, managing the
-    mapping between external ids / feature names and internal indices
-    (`data.py:136-449`)."""
+    mapping between external ids / feature names and internal indices.
+
+    Parity: ``lightfm/data.py:136-449``.
+    """
 
     def __init__(self, user_identity_features=True, item_identity_features=True):
         self._user_identity_features = user_identity_features
@@ -225,133 +260,71 @@ class Dataset:
         return self.fit_partial(users, items, user_features, item_features)
 
     @staticmethod
-    def _extend_mapping_fast(mapping, ids) -> bool:
-        """Extend ``mapping`` with numpy integer ``ids`` via the native
-        ingest engine (first-seen order, identical to setdefault).  Returns
-        False when the fast path does not apply (non-int ids, mixed-type
-        mapping, or no native library)."""
+    def _extend(mapping: dict, keys) -> None:
+        """Append unseen ``keys`` to ``mapping`` in first-seen order.
+
+        Numpy integer arrays take the native C++ dedup path
+        (``native/ingest.cpp``, ~40x faster at 10M rows); anything else
+        runs the generic insertion loop.  Both assign indices densely in
+        encounter order, matching the reference's setdefault semantics
+        (``lightfm/data.py:229-257``).
+        """
+        if keys is None:
+            return
+        if Dataset._extend_int_array(mapping, keys):
+            return
+        for key in keys:
+            if key not in mapping:
+                mapping[key] = len(mapping)
+
+    @staticmethod
+    def _extend_int_array(mapping: dict, ids) -> bool:
+        """Native-dedup fast path; False when it does not apply."""
         from lightfm_tpu import native
 
         if not native.AVAILABLE:
             return False
         if not (isinstance(ids, np.ndarray) and ids.dtype.kind in "iu"):
             return False
-        if mapping:
-            # Existing keys must all be Python/numpy ints for a faithful merge.
-            try:
-                existing = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-            except (TypeError, ValueError, OverflowError):
-                return False
-        else:
-            existing = np.empty(0, dtype=np.int64)
-        new = native.map_ids(existing, ids.astype(np.int64, copy=False))
-        base = len(mapping)
-        mapping.update(
-            zip(new.tolist(), range(base, base + len(new)))
+        if ids.dtype == np.uint64 and ids.size and ids.max() > np.iinfo(np.int64).max:
+            # Would wrap negative under int64 — keep the exact Python path.
+            return False
+        existing = (
+            _mapping_keys_i64(mapping) if mapping else np.empty(0, dtype=np.int64)
         )
+        if existing is None:  # mixed-type keys: merge must stay in Python
+            return False
+        unseen = native.map_ids(existing, ids.astype(np.int64, copy=False))
+        start = len(mapping)
+        mapping.update(zip(unseen.tolist(), range(start, start + unseen.size)))
         return True
 
     def fit_partial(self, users=None, items=None, user_features=None, item_features=None):
-        """Add new entries to the existing mappings.
+        """Add new entries to the existing mappings."""
+        self._extend(self._user_id_mapping, users)
+        if self._user_identity_features:
+            self._extend(self._user_feature_mapping, users)
 
-        Numpy integer-array inputs take the native C++ ingest path
-        (lightfm_tpu/native/ingest.cpp — ~40x faster than the per-element
-        dict loop at 10M rows); arbitrary hashables use the reference's
-        setdefault semantics (`lightfm/data.py:229-257`).
-        """
-        if users is not None:
-            if self._extend_mapping_fast(self._user_id_mapping, users):
-                if self._user_identity_features and not self._extend_mapping_fast(
-                    self._user_feature_mapping, users
-                ):
-                    # Feature mapping holds non-int keys: fall back for it.
-                    for user_id in users:
-                        self._user_feature_mapping.setdefault(
-                            user_id, len(self._user_feature_mapping)
-                        )
-            else:
-                for user_id in users:
-                    self._user_id_mapping.setdefault(user_id, len(self._user_id_mapping))
-                    if self._user_identity_features:
-                        self._user_feature_mapping.setdefault(
-                            user_id, len(self._user_feature_mapping)
-                        )
+        self._extend(self._item_id_mapping, items)
+        if self._item_identity_features:
+            self._extend(self._item_feature_mapping, items)
 
-        if items is not None:
-            if self._extend_mapping_fast(self._item_id_mapping, items):
-                if self._item_identity_features and not self._extend_mapping_fast(
-                    self._item_feature_mapping, items
-                ):
-                    for item_id in items:
-                        self._item_feature_mapping.setdefault(
-                            item_id, len(self._item_feature_mapping)
-                        )
-            else:
-                for item_id in items:
-                    self._item_id_mapping.setdefault(item_id, len(self._item_id_mapping))
-                    if self._item_identity_features:
-                        self._item_feature_mapping.setdefault(
-                            item_id, len(self._item_feature_mapping)
-                        )
-
-        if user_features is not None:
-            for user_feature in user_features:
-                self._user_feature_mapping.setdefault(
-                    user_feature, len(self._user_feature_mapping)
-                )
-
-        if item_features is not None:
-            for item_feature in item_features:
-                self._item_feature_mapping.setdefault(
-                    item_feature, len(self._item_feature_mapping)
-                )
-
-    def _unpack_datum(self, datum):
-        if len(datum) == 3:
-            (user_id, item_id, weight) = datum
-        elif len(datum) == 2:
-            (user_id, item_id) = datum
-            weight = 1.0
-        else:
-            raise ValueError(
-                "Expecting tuples of (user_id, item_id, weight) "
-                "or (user_id, item_id). Got {}".format(datum)
-            )
-
-        user_idx = self._user_id_mapping.get(user_id)
-        item_idx = self._item_id_mapping.get(item_id)
-
-        if user_idx is None:
-            raise ValueError(
-                "User id {} not in user id mapping. Make sure "
-                "you call the fit method.".format(user_id)
-            )
-        if item_idx is None:
-            raise ValueError(
-                "Item id {} not in item id mapping. Make sure "
-                "you call the fit method.".format(item_id)
-            )
-
-        return (user_idx, item_idx, weight)
+        self._extend(self._user_feature_mapping, user_features)
+        self._extend(self._item_feature_mapping, item_features)
 
     def interactions_shape(self):
         """(num users, num items)."""
         return (len(self._user_id_mapping), len(self._item_id_mapping))
 
-    def _mapping_keys_i64(self, mapping):
-        try:
-            return np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
-        except (TypeError, ValueError, OverflowError):
-            return None
-
     def _build_interactions_arrays(self, user_ids, item_ids, weights):
         """Native vectorized variant of build_interactions for numpy arrays."""
         from lightfm_tpu import native
 
-        ukeys = self._mapping_keys_i64(self._user_id_mapping)
-        ikeys = self._mapping_keys_i64(self._item_id_mapping)
-        if ukeys is None or ikeys is None or not native.AVAILABLE:
-            # Fall back to the tuple path.
+        if (
+            not native.AVAILABLE
+            or _mapping_keys_i64(self._user_id_mapping) is None
+            or _mapping_keys_i64(self._item_id_mapping) is None
+        ):
             it = (
                 zip(user_ids, item_ids)
                 if weights is None
@@ -359,28 +332,24 @@ class Dataset:
             )
             return self.build_interactions(it)
 
-        uidx = native.lookup_ids(ukeys, np.asarray(user_ids, dtype=np.int64))
-        iidx = native.lookup_ids(ikeys, np.asarray(item_ids, dtype=np.int64))
-        if (uidx < 0).any():
-            bad = np.asarray(user_ids)[uidx < 0][0]
-            raise ValueError(
-                "User id {} not in user id mapping. Make sure "
-                "you call the fit method.".format(bad)
-            )
-        if (iidx < 0).any():
-            bad = np.asarray(item_ids)[iidx < 0][0]
-            raise ValueError(
-                "Item id {} not in item id mapping. Make sure "
-                "you call the fit method.".format(bad)
-            )
+        uidx = _translate(
+            self._user_id_mapping,
+            user_ids,
+            "User id {} not in user id mapping. Make sure you call the fit method.",
+        )
+        iidx = _translate(
+            self._item_id_mapping,
+            item_ids,
+            "Item id {} not in item id mapping. Make sure you call the fit method.",
+        )
         w = (
-            np.ones(len(uidx), dtype=np.float32)
+            np.ones(uidx.size, dtype=np.float32)
             if weights is None
             else np.asarray(weights, dtype=np.float32)
         )
         shape = self.interactions_shape()
         interactions = sp.coo_matrix(
-            (np.ones(len(uidx), dtype=np.int32), (uidx, iidx)), shape=shape
+            (np.ones(uidx.size, dtype=np.int32), (uidx, iidx)), shape=shape
         )
         weights_mat = sp.coo_matrix((w, (uidx, iidx)), shape=shape)
         return interactions, weights_mat
@@ -389,16 +358,12 @@ class Dataset:
         """Build (interactions, weights) COO matrices.
 
         ``data`` is either the reference's iterable of (user_id, item_id)
-        or (user_id, item_id, weight) tuples (`lightfm/data.py:296-330`), or
-        — the TPU-native fast path — a tuple of numpy arrays
-        ``(user_ids, item_ids)`` / ``(user_ids, item_ids, weights)`` which
-        routes through the native C++ ingest engine.
+        or (user_id, item_id, weight) tuples (``lightfm/data.py:296-330``),
+        or — the TPU-native fast path — a tuple of numpy arrays
+        ``(user_ids, item_ids[, weights])`` routed through the native C++
+        ingest engine.
         """
-        if (
-            isinstance(data, tuple)
-            and len(data) in (2, 3)
-            and all(isinstance(a, np.ndarray) for a in data)
-        ):
+        if _is_array_input(data):
             return self._build_interactions_arrays(
                 data[0], data[1], data[2] if len(data) == 3 else None
             )
@@ -407,7 +372,27 @@ class Dataset:
         weights = _IncrementalCOOMatrix(self.interactions_shape(), np.float32)
 
         for datum in data:
-            user_idx, item_idx, weight = self._unpack_datum(datum)
+            if len(datum) == 2:
+                (user_id, item_id), weight = datum, 1.0
+            elif len(datum) == 3:
+                user_id, item_id, weight = datum
+            else:
+                raise ValueError(
+                    "Expecting tuples of (user_id, item_id, weight) "
+                    f"or (user_id, item_id). Got {datum}"
+                )
+            user_idx = self._user_id_mapping.get(user_id)
+            if user_idx is None:
+                raise ValueError(
+                    f"User id {user_id} not in user id mapping. Make sure "
+                    "you call the fit method."
+                )
+            item_idx = self._item_id_mapping.get(item_id)
+            if item_idx is None:
+                raise ValueError(
+                    f"Item id {item_id} not in item id mapping. Make sure "
+                    "you call the fit method."
+                )
             interactions.append(user_idx, item_idx, 1)
             weights.append(user_idx, item_idx, weight)
 
@@ -420,14 +405,13 @@ class Dataset:
     def build_user_features(self, data, normalize=True):
         """Build a user x feature CSR from (user id, [features]) or
         (user id, {feature: weight}) tuples."""
-        builder = _FeatureBuilder(
+        return _FeatureBuilder(
             self._user_id_mapping,
             self._user_feature_mapping,
             self._user_identity_features,
             normalize,
             "user",
-        )
-        return builder.build(data)
+        ).build(data)
 
     def item_features_shape(self):
         """(num item ids, num item features)."""
@@ -436,14 +420,13 @@ class Dataset:
     def build_item_features(self, data, normalize=True):
         """Build an item x feature CSR from (item id, [features]) or
         (item id, {feature: weight}) tuples."""
-        builder = _FeatureBuilder(
+        return _FeatureBuilder(
             self._item_id_mapping,
             self._item_feature_mapping,
             self._item_identity_features,
             normalize,
             "item",
-        )
-        return builder.build(data)
+        ).build(data)
 
     def model_dimensions(self):
         """(num user feature embeddings, num item feature embeddings)."""

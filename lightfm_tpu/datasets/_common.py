@@ -1,47 +1,57 @@
-"""Download/cache plumbing for dataset fetchers (mirrors
-``lightfm/datasets/_common.py``).  Uses urllib so no extra dependency is
-needed; downloads are cached under ``~/lightfm_data`` like the reference."""
+"""Download/cache plumbing shared by the dataset fetchers.
+
+Behavioral parity target: ``lightfm/datasets/_common.py`` — fetchers cache
+downloads under ``~/lightfm_data`` (or an explicit ``data_home``) and raise
+``IOError`` when the file is absent and downloading is disabled.  Built on
+``pathlib`` + ``urllib`` (no ``requests`` dependency), with atomic
+``.part``-rename downloads so an interrupted fetch never leaves a corrupt
+cache entry.
+"""
 
 from __future__ import annotations
 
 import os
 import urllib.request
+from pathlib import Path
 
 
-def get_data_dir():
-    return os.path.join(os.path.expanduser("~"), "lightfm_data")
+def get_data_dir() -> str:
+    """Root of the local dataset cache (shared with the reference's layout)."""
+    return str(Path.home() / "lightfm_data")
 
 
-def create_data_dir(path):
-    if not os.path.isdir(path):
-        os.makedirs(path)
+def create_data_dir(path) -> None:
+    Path(path).mkdir(parents=True, exist_ok=True)
 
 
-def download(url, dest_path):
-    tmp_path = dest_path + ".part"
-    with urllib.request.urlopen(url) as resp, open(tmp_path, "wb") as fd:
+def download(url: str, dest_path) -> None:
+    """Stream ``url`` to ``dest_path`` atomically (write .part, then rename)."""
+    dest = Path(dest_path)
+    tmp = dest.with_name(dest.name + ".part")
+    with urllib.request.urlopen(url) as resp, open(tmp, "wb") as fd:
         while True:
             chunk = resp.read(2**20)
             if not chunk:
                 break
             fd.write(chunk)
-    os.replace(tmp_path, dest_path)
+    os.replace(tmp, dest)
 
 
-def get_data(data_home, url, dest_subdir, dest_filename, download_if_missing):
-    if data_home is None:
-        data_dir = os.path.join(get_data_dir(), dest_subdir)
-    else:
-        data_dir = os.path.join(os.path.abspath(data_home), dest_subdir)
+def get_data(
+    data_home,
+    url: str,
+    dest_subdir: str,
+    dest_filename: str,
+    download_if_missing: bool,
+) -> str:
+    """Return the local path of a cached dataset file, downloading on miss."""
+    root = Path(data_home).resolve() if data_home is not None else Path(get_data_dir())
+    dest = root / dest_subdir / dest_filename
+    dest.parent.mkdir(parents=True, exist_ok=True)
 
-    create_data_dir(data_dir)
-
-    dest_path = os.path.join(data_dir, dest_filename)
-
-    if not os.path.isfile(dest_path):
-        if download_if_missing:
-            download(url, dest_path)
-        else:
+    if not dest.is_file():
+        if not download_if_missing:
             raise IOError("Dataset missing.")
+        download(url, dest)
 
-    return dest_path
+    return str(dest)

@@ -1,8 +1,16 @@
-"""StackExchange fetcher (mirrors ``lightfm/datasets/stackexchange.py``).
+"""StackExchange dataset fetcher.
 
-Users answering questions; time-based train/test split (all interactions
-before the cutoff timestamp go to train, `stackexchange.py:118-121` in the
-reference), optional minimum-interaction filtering and tag features.
+Behavioral parity target: ``lightfm/datasets/stackexchange.py:10-165`` in
+the reference.  Interactions are users answering questions, valued by
+timestamp; the split is time-based (everything strictly before the cutoff
+timestamp trains, the rest tests), with optional filtering of low-activity
+users and optional question-tag item features.
+
+The npz archive schema fixes the *loading* keys; everything downstream
+(split, filter, feature assembly) is implemented fresh here: the cutoff is
+found with ``np.partition`` rather than a full sort, the user filter
+remaps COO rows directly instead of round-tripping through CSR slicing,
+and feature blocks are assembled through one hstack path.
 """
 
 from __future__ import annotations
@@ -14,38 +22,89 @@ import scipy.sparse as sp
 
 from lightfm_tpu.datasets import _common
 
-URLS = {
-    "crossvalidated": (
-        "https://github.com/maciejkula/lightfm_datasets/releases/"
-        "download/v0.1.0/stackexchange_crossvalidated.npz"
-    ),
-    "stackoverflow": (
-        "https://github.com/maciejkula/lightfm_datasets/releases/"
-        "download/v0.1.0/stackexchange_stackoverflow.npz"
-    ),
-}
+_RELEASE = "https://github.com/maciejkula/lightfm_datasets/releases/download/v0.1.0"
+URLS = {name: f"{_RELEASE}/stackexchange_{name}.npz" for name in ("crossvalidated", "stackoverflow")}
+
+
+def _load_npz_coo(data, prefix: str) -> sp.coo_matrix:
+    """Reassemble one COO matrix from the release archive's key triplets."""
+    return sp.coo_matrix(
+        (data[f"{prefix}_data"], (data[f"{prefix}_row"], data[f"{prefix}_col"])),
+        shape=tuple(data[f"{prefix}_shape"].ravel()),
+    )
+
+
+def _binarized(src: sp.coo_matrix, mask: np.ndarray) -> sp.coo_matrix:
+    """COO of ones at the masked entries of ``src`` (timestamps discarded)."""
+    r, c = src.row[mask], src.col[mask]
+    return sp.coo_matrix(
+        (np.ones(r.size, dtype=np.float32), (r, c)), shape=src.shape
+    )
+
+
+def _drop_sparse_users(
+    train: sp.coo_matrix, test: sp.coo_matrix, min_interactions: int
+):
+    """Keep only users with > ``min_interactions`` training rows.
+
+    Surviving users are renumbered densely (matching the reference's CSR
+    row-slicing semantics, ``stackexchange.py:138-142``), applied to both
+    matrices so user ids stay aligned.
+    """
+    per_user = np.bincount(train.row, minlength=train.shape[0])
+    keep = per_user > min_interactions
+    new_row = np.cumsum(keep) - 1  # old id -> new id for kept users
+    n_kept = int(keep.sum())
+
+    def _remap(mat: sp.coo_matrix) -> sp.coo_matrix:
+        sel = keep[mat.row]
+        return sp.coo_matrix(
+            (mat.data[sel], (new_row[mat.row[sel]], mat.col[sel])),
+            shape=(n_kept, mat.shape[1]),
+        )
+
+    return _remap(train), _remap(test)
+
+
+def _assemble_item_features(
+    n_items: int, tags: sp.coo_matrix, tag_labels, indicator: bool, use_tags: bool
+):
+    """Stack the requested feature blocks: [identity | tags]."""
+    blocks, label_parts = [], []
+    if indicator:
+        blocks.append(sp.identity(n_items, format="csr", dtype=np.float32))
+        label_parts.append(
+            np.array([f"question_id:{q}" for q in range(n_items)])
+        )
+    if use_tags:
+        blocks.append(tags.tocsr())
+        label_parts.append(tag_labels)
+    features = blocks[0] if len(blocks) == 1 else sp.hstack(blocks).tocsr()
+    labels = label_parts[0] if len(label_parts) == 1 else np.concatenate(label_parts)
+    return features.tocsr(), labels
 
 
 def fetch_stackexchange(
-    dataset,
-    test_set_fraction=0.2,
-    min_training_interactions=1,
+    dataset: str,
+    test_set_fraction: float = 0.2,
+    min_training_interactions: int = 1,
     data_home=None,
-    indicator_features=True,
-    tag_features=False,
-    download_if_missing=True,
-):
-    """Fetch a StackExchange dataset ('crossvalidated' or 'stackoverflow').
+    indicator_features: bool = True,
+    tag_features: bool = False,
+    download_if_missing: bool = True,
+) -> dict:
+    """Fetch a StackExchange dataset (``'crossvalidated'`` or ``'stackoverflow'``).
 
-    Returns a dict with keys ``train``, ``test``, ``item_features``,
-    ``item_feature_labels`` — identical structure to the reference fetcher
-    (`stackexchange.py:10-165`).
+    Returns ``{"train", "test", "item_features", "item_feature_labels"}`` with
+    the same shapes/semantics as the reference fetcher: COO train/test of
+    binarized interactions split at a timestamp quantile, and a CSR item
+    feature matrix of identity and/or tag columns.
     """
     if not (indicator_features or tag_features):
         raise ValueError(
             "At least one of item_indicator_features or tag_features must be True"
         )
-    if dataset not in ("crossvalidated", "stackoverflow"):
+    if dataset not in URLS:
         raise ValueError("Unknown dataset")
     if not (0.0 < test_set_fraction < 1.0):
         raise ValueError("Test set fraction must be between 0 and 1")
@@ -57,65 +116,27 @@ def fetch_stackexchange(
         "data.npz",
         download_if_missing,
     )
+    archive = np.load(path)
 
-    data = np.load(path)
-
-    interactions = sp.coo_matrix(
-        (
-            data["interactions_data"],
-            (data["interactions_row"], data["interactions_col"]),
-        ),
-        shape=data["interactions_shape"].flatten(),
-    )
+    interactions = _load_npz_coo(archive, "interactions")
     interactions.sum_duplicates()
+    tags = _load_npz_coo(archive, "features")
 
-    tag_features_mat = sp.coo_matrix(
-        (data["features_data"], (data["features_row"], data["features_col"])),
-        shape=data["features_shape"].flatten(),
-    )
-    tag_labels = data["labels"]
+    # Time-based split: the cutoff is the (1 - fraction)-quantile timestamp;
+    # strictly-earlier interactions train, the rest test (reference :118-121).
+    cutoff_rank = int(interactions.nnz * (1.0 - test_set_fraction))
+    cutoff_ts = np.partition(interactions.data, cutoff_rank)[cutoff_rank]
+    is_train = interactions.data < cutoff_ts
 
-    # Time-based split: interaction values are timestamps.
-    test_cutoff_index = int(len(interactions.data) * (1.0 - test_set_fraction))
-    test_cutoff_timestamp = np.sort(interactions.data)[test_cutoff_index]
-    in_train = interactions.data < test_cutoff_timestamp
-    in_test = np.logical_not(in_train)
-
-    train = sp.coo_matrix(
-        (
-            np.ones(in_train.sum(), dtype=np.float32),
-            (interactions.row[in_train], interactions.col[in_train]),
-        ),
-        shape=interactions.shape,
-    )
-    test = sp.coo_matrix(
-        (
-            np.ones(in_test.sum(), dtype=np.float32),
-            (interactions.row[in_test], interactions.col[in_test]),
-        ),
-        shape=interactions.shape,
-    )
+    train = _binarized(interactions, is_train)
+    test = _binarized(interactions, ~is_train)
 
     if min_training_interactions > 0:
-        include = np.squeeze(np.array(train.getnnz(axis=1))) > min_training_interactions
-        train = train.tocsr()[include].tocoo()
-        test = test.tocsr()[include].tocoo()
+        train, test = _drop_sparse_users(train, test, min_training_interactions)
 
-    if indicator_features and not tag_features:
-        features = sp.identity(train.shape[1], format="csr", dtype=np.float32)
-        labels = np.array(["question_id:{}".format(x) for x in range(train.shape[1])])
-    elif not indicator_features and tag_features:
-        features = tag_features_mat.tocsr()
-        labels = tag_labels
-    else:
-        id_features = sp.identity(train.shape[1], format="csr", dtype=np.float32)
-        features = sp.hstack([id_features, tag_features_mat]).tocsr()
-        labels = np.concatenate(
-            [
-                np.array(["question_id:{}".format(x) for x in range(train.shape[1])]),
-                tag_labels,
-            ]
-        )
+    features, labels = _assemble_item_features(
+        train.shape[1], tags, archive["labels"], indicator_features, tag_features
+    )
 
     return {
         "train": train,
