@@ -40,6 +40,14 @@ def save_model(model, path: str) -> None:
             if k not in ("random_state", "mesh")
         },
         "fitted": model._state is not None,
+        # Serving metadata: without these a reloaded hybrid model would
+        # bypass recommend()'s feature guards and mis-size its catalog.
+        "serving": {
+            "n_users_": getattr(model, "n_users_", None),
+            "n_items_": getattr(model, "n_items_", None),
+            "_item_features_used": getattr(model, "_item_features_used", False),
+            "_user_features_used": getattr(model, "_user_features_used", False),
+        },
     }
     arrays = {"_header": np.frombuffer(json.dumps(header).encode(), dtype=np.uint8)}
 
@@ -96,4 +104,7 @@ def load_model(path: str):
             model._state = ModelState(
                 **{k: jnp.asarray(v) for k, v in arrays.items()}
             )
+            for attr, value in header.get("serving", {}).items():
+                if value is not None:
+                    setattr(model, attr, value)
     return model

@@ -393,6 +393,7 @@ class LightFM:
         # Remembered for serving defaults (recommend's catalog size).
         self.n_users_, self.n_items_ = n_users, n_items
         self._item_features_used = not self._is_identity(item_features)
+        self._user_features_used = not self._is_identity(user_features)
 
         if not item_features.shape[1] == self._state.item_table.shape[0]:
             raise ValueError("Incorrect number of features in item_features")
@@ -620,6 +621,11 @@ class LightFM:
             raise ValueError(
                 "This model was fitted with item_features; recommend() needs "
                 "the same item_features to build catalog representations."
+            )
+        if user_features is None and getattr(self, "_user_features_used", False):
+            raise ValueError(
+                "This model was fitted with user_features; recommend() needs "
+                "the same user_features to build user representations."
             )
         n_users = int(user_ids.max()) + 1 if len(user_ids) else 1
 

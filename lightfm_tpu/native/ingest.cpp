@@ -170,9 +170,13 @@ int64_t lf_parse_interactions(const char* buf, int64_t len, char delim,
     float v = 1.0f;
     if (q < line_end && *q == delim) {
       const char* f3 = q + 1;
-      char* q2;
-      v = strtof(f3, &q2);
-      if (q2 == f3) v = 1.0f;
+      // strtof skips leading whitespace *including '\n'*, so an empty value
+      // field ("1\t2\t\n") would otherwise consume the next line's uid.
+      if (f3 < line_end) {
+        char* q2;
+        float parsed = strtof(f3, &q2);
+        if (q2 != f3 && q2 <= line_end) v = parsed;
+      }
     }
     uids[n] = uid;
     iids[n] = iid;

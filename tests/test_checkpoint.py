@@ -125,3 +125,28 @@ def test_v1_npz_checkpoint_migrates_scales(tmp_path):
     clone = load_model(path)
     uid = np.arange(10, dtype=np.int32)
     assert np.array_equal(model.predict(uid, uid), clone.predict(uid, uid))
+
+
+def test_npz_roundtrip_preserves_serving_metadata(tmp_path):
+    # A reloaded hybrid model must keep recommend()'s feature guards and
+    # catalog size; without the header metadata it would silently build an
+    # identity catalog over the feature table (wrong recommendations).
+    import scipy.sparse as sp
+
+    n_items = _train.shape[1]
+    genre = sp.csr_matrix(
+        (np.ones(n_items, np.float32),
+         (np.arange(n_items), np.arange(n_items) % 7)), shape=(n_items, 7),
+    )
+    model = LightFM(loss="warp", no_components=8, random_state=SEED)
+    model.fit(_train, item_features=genre, epochs=1)
+    path = str(tmp_path / "hybrid.npz")
+    save_model(model, path)
+    clone = load_model(path)
+
+    assert clone.n_items_ == model.n_items_
+    assert clone.n_users_ == model.n_users_
+    with pytest.raises(ValueError, match="item_features"):
+        clone.recommend(np.arange(4), k=5)
+    s, i = clone.recommend(np.arange(4), k=5, item_features=genre)
+    assert i.shape == (4, 5)

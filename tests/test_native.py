@@ -131,3 +131,16 @@ def test_fit_partial_mixed_feature_mapping_keeps_identity_entries():
     ds.fit_partial(items=np.array([5, 6], np.int64))  # native id path
     fmap = ds.mapping()[3]
     assert fmap["tag:a"] == 0 and fmap[5] == 1 and fmap[6] == 2
+
+
+def test_parse_trailing_delimiter_does_not_consume_next_line():
+    # Regression: strtof skips '\n' as whitespace, so "1\t2\t\n" used to
+    # steal the next line's uid as this row's value.
+    from lightfm_tpu import native
+
+    if not native.AVAILABLE:
+        pytest.skip("no native library")
+    uids, iids, vals = native.parse_interactions(b"1\t2\t\n3\t4\t5\n")
+    assert uids.tolist() == [1, 3]
+    assert iids.tolist() == [2, 4]
+    assert vals.tolist() == [1.0, 5.0]

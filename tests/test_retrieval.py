@@ -266,3 +266,19 @@ def test_recommend_defaults_to_fitted_catalog(model):
     # n_items defaults to the fitted interaction matrix's width.
     s, i = model.recommend(np.arange(4), k=5)
     assert i.max() < _train.shape[1]
+
+
+def test_recommend_requires_user_features_for_hybrid_models():
+    # Mirror of the item-side guard: a model fitted with non-identity
+    # user_features must not silently treat user ids as feature-row ids.
+    n_users = _train.shape[0]
+    user_feats = sp.csr_matrix(
+        (np.ones(n_users, np.float32),
+         (np.arange(n_users), np.arange(n_users) % 5)), shape=(n_users, 5),
+    )
+    m = LightFM(loss="warp", no_components=8, random_state=SEED)
+    m.fit(_train, user_features=user_feats, epochs=1)
+    with pytest.raises(ValueError, match="user_features"):
+        m.recommend(np.arange(4), k=5)
+    s, i = m.recommend(np.arange(4), k=5, user_features=user_feats)
+    assert i.shape == (4, 5)
