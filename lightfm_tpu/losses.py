@@ -39,6 +39,7 @@ from lightfm_tpu.ops.representation import (
 )
 from lightfm_tpu.ops.updates import sparse_update
 from lightfm_tpu.sparse import (
+    ChunkedRows,
     IdentityRows,
     PaddedRows,
     PaddedSortedRows,
@@ -79,15 +80,23 @@ def _flatten_touches(features, rows: jax.Array, g: jax.Array, mask: jax.Array):
     General features expand to [B*P] touches with the RAW feature weights
     (the reference multiplies by scale only on the read path, template:311
     vs :366).
+
+    Returns ``(touches, overflow)`` where ``touches`` is the flat
+    (idx, w, g, mask) tuple for the dense tier and ``overflow`` is None
+    except for :class:`ChunkedRows`, whose over-width feature tail is
+    applied chunk-by-chunk in :func:`_run_updates` (memory stays bounded).
     """
     if isinstance(features, IdentityRows):
-        return rows, jnp.ones_like(rows, dtype=g.dtype), g, mask
+        return (rows, jnp.ones_like(rows, dtype=g.dtype), g, mask), None
+    if isinstance(features, ChunkedRows):
+        base, _ = _flatten_touches(features.base, rows, g, mask)
+        return base, (features.over_slot[rows], g, mask)
     idx = features.idx[rows]  # [B, P]
     w = features.wts[rows]
     B, P = idx.shape
     tmask = mask[:, None] & (w != 0)
     g_flat = jnp.broadcast_to(g[:, None, :], (B, P, g.shape[1])).reshape(B * P, -1)
-    return idx.reshape(-1), w.reshape(-1), g_flat, tmask.reshape(-1)
+    return (idx.reshape(-1), w.reshape(-1), g_flat, tmask.reshape(-1)), None
 
 
 def _update_scales(state: ModelState, hp: Hyperparams, sum_lr, n_touch, n_updates):
@@ -105,8 +114,41 @@ def _update_scales(state: ModelState, hp: Hyperparams, sum_lr, n_touch, n_update
     )
 
 
-def _run_updates(state, hp, item_touches, user_touches, upd_mask):
-    """One fused sparse optimizer pass per table."""
+def _overflow_chunks(table, acc, mom, feats: ChunkedRows, specs, alpha, kw):
+    """Apply the over-width feature tail of :class:`ChunkedRows` touches.
+
+    ``specs`` is a list of (slots [B], g [B, W], mask [B]) touch sources
+    sharing ``feats``.  Chunks are scanned so the working set stays
+    [touches, chunk_width] regardless of how wide the heaviest row is.
+    """
+    slots = jnp.concatenate([s[0] for s in specs])
+    g = jnp.concatenate([s[1] for s in specs])
+    mask = jnp.concatenate([s[2] for s in specs])
+    T = slots.shape[0]
+
+    def body(carry, xs):
+        table, acc, mom, sum_lr, cnt = carry
+        idx_c, wts_c = xs  # [M+1, C]
+        idx = idx_c[slots]  # [T, C]
+        w = wts_c[slots]
+        tmask = mask[:, None] & (w != 0)
+        C = idx.shape[1]
+        g_flat = jnp.broadcast_to(g[:, None, :], (T, C, g.shape[1])).reshape(T * C, -1)
+        table, acc, mom, lr, n = sparse_update(
+            table, acc, mom, idx.reshape(-1), w.reshape(-1), g_flat,
+            tmask.reshape(-1), alpha=alpha, **kw,
+        )
+        return (table, acc, mom, sum_lr + lr, cnt + n), None
+
+    init = (table, acc, mom, jnp.float32(0.0), jnp.float32(0.0))
+    (table, acc, mom, sum_lr, cnt), _ = jax.lax.scan(
+        body, init, (feats.over_idx, feats.over_wts)
+    )
+    return table, acc, mom, sum_lr, cnt
+
+
+def _run_updates(state, hp, item_feats, item_touches, user_feats, user_touches, upd_mask):
+    """One fused sparse optimizer pass per table (+ chunked overflow tails)."""
     kw = dict(
         adadelta=hp.adadelta,
         learning_rate=hp.learning_rate,
@@ -114,25 +156,37 @@ def _run_updates(state, hp, item_touches, user_touches, upd_mask):
         eps=hp.epsilon,
         emb_dim=hp.no_components,
     )
-    if len(item_touches) == 1:
-        i_idx, i_w, i_g, i_m = item_touches[0]
+    flat = [t[0] for t in item_touches]
+    if len(flat) == 1:
+        i_idx, i_w, i_g, i_m = flat[0]
     else:
-        i_idx = jnp.concatenate([t[0] for t in item_touches])
-        i_w = jnp.concatenate([t[1] for t in item_touches])
-        i_g = jnp.concatenate([t[2] for t in item_touches])
-        i_m = jnp.concatenate([t[3] for t in item_touches])
+        i_idx = jnp.concatenate([t[0] for t in flat])
+        i_w = jnp.concatenate([t[1] for t in flat])
+        i_g = jnp.concatenate([t[2] for t in flat])
+        i_m = jnp.concatenate([t[3] for t in flat])
 
     table, acc, mom, lr_i, cnt_i = sparse_update(
         state.item_table, state.item_acc, state.item_mom,
         i_idx, i_w, i_g, i_m, alpha=hp.item_alpha, **kw,
     )
+    item_over = [t[1] for t in item_touches if t[1] is not None]
+    if item_over:
+        table, acc, mom, lr_o, cnt_o = _overflow_chunks(
+            table, acc, mom, item_feats, item_over, hp.item_alpha, kw
+        )
+        lr_i, cnt_i = lr_i + lr_o, cnt_i + cnt_o
     state = state._replace(item_table=table, item_acc=acc, item_mom=mom)
 
-    u_idx, u_w, u_g, u_m = user_touches
+    (u_idx, u_w, u_g, u_m), user_over = user_touches
     table, acc, mom, lr_u, cnt_u = sparse_update(
         state.user_table, state.user_acc, state.user_mom,
         u_idx, u_w, u_g, u_m, alpha=hp.user_alpha, **kw,
     )
+    if user_over is not None:
+        table, acc, mom, lr_o, cnt_o = _overflow_chunks(
+            table, acc, mom, user_feats, [user_over], hp.user_alpha, kw
+        )
+        lr_u, cnt_u = lr_u + lr_o, cnt_u + cnt_o
     state = state._replace(user_table=table, user_acc=acc, user_mom=mom)
 
     if hp.item_alpha == 0.0 and hp.user_alpha == 0.0:
@@ -153,7 +207,7 @@ def _apply_pointwise(state, hp, user_feats, item_feats, uid, iid, u_rep, i_rep, 
     g_user = loss[:, None] * with_unit_bias(i_rep)
     item_t = _flatten_touches(item_feats, iid, g_item, upd)
     user_t = _flatten_touches(user_feats, uid, g_user, upd)
-    return _run_updates(state, hp, [item_t], user_t, upd)
+    return _run_updates(state, hp, item_feats, [item_t], user_feats, user_t, upd)
 
 
 def _apply_pairwise(
@@ -170,7 +224,7 @@ def _apply_pairwise(
     neg_t = _flatten_touches(item_feats, neg_iid, lu, upd)
     g_user = loss[:, None] * with_unit_bias(n_rep - p_rep)
     user_t = _flatten_touches(user_feats, uid, g_user, upd)
-    return _run_updates(state, hp, [pos_t, neg_t], user_t, upd)
+    return _run_updates(state, hp, item_feats, [pos_t, neg_t], user_feats, user_t, upd)
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from lightfm_tpu.config import Hyperparams
 from lightfm_tpu.ops.representation import batch_representation, score_pairs
 from lightfm_tpu.ops.ranking import predict_ranks_padded
-from lightfm_tpu.sparse import PaddedRows, identity_rows, pad_csr, pad_csr_sorted
+from lightfm_tpu.sparse import identity_rows, pad_csr, pad_csr_sorted
 from lightfm_tpu.state import ModelState, init_state
 from lightfm_tpu.train import (
     TrainData,
@@ -257,11 +257,21 @@ class LightFM:
         )
 
     @classmethod
-    def _pad_features(cls, csr) -> PaddedRows:
+    def _pad_features(cls, csr):
         if cls._is_identity(csr):
             return identity_rows(csr.shape[0])
         # Multiple-of-8 row widths keep the per-row index/weight gathers on
         # the fast TPU lowering path (see lightfm_tpu.state.table_width).
+        # The width cap bounds padding on skewed data: when the heaviest row
+        # is far wider than the 99th percentile, its tail spills into
+        # ChunkedRows overflow chunks instead of inflating [n_rows, width]
+        # for the whole matrix (exact either way).
+        lengths = np.diff(sp.csr_matrix(csr).indptr)
+        if len(lengths):
+            p99 = int(np.percentile(lengths, 99))
+            cap = max(8 * ((p99 + 7) // 8), 8)
+            if int(lengths.max()) > max(4 * cap, 64):
+                return pad_csr(csr, pad_multiple=8, width_cap=cap)
         return pad_csr(csr, pad_multiple=8)
 
     def _process_sample_weight(self, interactions, sample_weight):

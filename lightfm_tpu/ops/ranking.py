@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from lightfm_tpu.ops.representation import batch_representation, full_representations
-from lightfm_tpu.sparse import IdentityRows, PaddedRows
+from lightfm_tpu.sparse import IdentityRows, PaddedRows, trim_rows
 from lightfm_tpu.state import ModelState
 
 _NEG_INF = jnp.float32(-jnp.inf)
@@ -132,10 +132,7 @@ def _catalog_representations(state, item_feats, n_items: int):
     if isinstance(item_feats, IdentityRows):
         rep = state.item_table[:n_items]
     else:
-        trimmed = PaddedRows(
-            item_feats.idx[:n_items], item_feats.wts[:n_items], item_feats.n_cols
-        )
-        rep = full_representations(state.item_table, trimmed)
+        rep = full_representations(state.item_table, trim_rows(item_feats, n_items))
     return _augment_items(rep)
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lightfm_tpu.sparse import IdentityRows, PaddedRows
+from lightfm_tpu.sparse import ChunkedRows, IdentityRows, PaddedRows
 
 
 def batch_representation(
@@ -46,6 +46,21 @@ def batch_representation(
         if scale is not None:
             rows = rows * scale
         return rows
+    if isinstance(features, ChunkedRows):
+        rep = batch_representation(table, features.base, row_ids, scale)
+        slots = features.over_slot[row_ids]  # [...]
+
+        def fold_chunk(acc, xs):
+            idx_c, wts_c = xs  # [M+1, C]
+            w = wts_c[slots]  # [..., C]; slot M rows are all-zero (no-op)
+            if scale is not None:
+                w = w * scale
+            emb_c = table[idx_c[slots]]  # [..., C, W]
+            return acc + jnp.einsum("...p,...pd->...d", w, emb_c), None
+
+        rep, _ = jax.lax.scan(fold_chunk, rep, (features.over_idx, features.over_wts))
+        return rep
+
     idx = features.idx[row_ids]  # [..., P]
     wts = features.wts[row_ids]  # [..., P]
     if scale is not None:

@@ -94,30 +94,143 @@ class PaddedSortedRows(NamedTuple):
         return self.idx.shape[0]
 
 
-def pad_csr(csr, pad_multiple: int = 1, min_width: int = 1) -> PaddedRows:
-    """Convert a scipy CSR matrix to :class:`PaddedRows`.
+class ChunkedRows(NamedTuple):
+    """Width-capped padded rows with a chunked overflow tier.
+
+    Fixes the quadratic-ish memory of global-max-width padding on skewed
+    feature data (one entity with thousands of features would otherwise
+    inflate ``[n_rows, width]`` for the whole matrix).  Rows keep their
+    first ``base.max_nnz`` features in the dense base tier; the few
+    over-width rows continue into per-row overflow chunks that compute
+    paths fold in with a ``lax.scan`` (memory stays O(total nnz), per-step
+    working set stays ``[batch, chunk]``).
+
+    Attributes
+    ----------
+    base: PaddedRows [n_rows, C]
+        First C features of every row (exactly PaddedRows semantics).
+    over_slot: int32 [n_rows]
+        Index of the row's overflow record, or M (the all-padding record)
+        for rows that fit in the base tier.
+    over_idx / over_wts: [n_chunks, M+1, C]
+        Overflow features, chunk-major so ``lax.scan`` consumes the leading
+        axis directly.  Record M is all zero weights (a no-op).
+    """
+
+    base: PaddedRows
+    over_slot: jax.Array
+    over_idx: jax.Array
+    over_wts: jax.Array
+
+    @property
+    def n_rows(self) -> int:
+        return self.base.n_rows
+
+    @property
+    def n_cols(self) -> int:
+        return self.base.n_cols
+
+    @property
+    def max_nnz(self) -> int:
+        return self.base.max_nnz + self.over_idx.shape[0] * self.over_idx.shape[2]
+
+    @property
+    def n_chunks(self) -> int:
+        return self.over_idx.shape[0]
+
+
+def _ragged_fill(idx, wts, rows, lengths, indices, data, offsets):
+    """Scatter CSR entries ``offsets[r] .. offsets[r]+lengths[r]`` of each
+    listed row into ``idx/wts[rows]`` left-aligned."""
+    total = int(lengths.sum())
+    if not total:
+        return
+    row_of = np.repeat(np.arange(len(rows)), lengths)
+    pos = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    flat = np.repeat(offsets, lengths) + pos
+    idx[rows[row_of], pos] = indices[flat].astype(np.int32)
+    wts[rows[row_of], pos] = data[flat].astype(np.float32)
+
+
+def pad_csr(
+    csr,
+    pad_multiple: int = 1,
+    min_width: int = 1,
+    width_cap: Optional[int] = None,
+    chunk_width: int = 512,
+):
+    """Convert a scipy CSR matrix to :class:`PaddedRows` (or, when rows
+    exceed ``width_cap``, :class:`ChunkedRows`).
 
     ``pad_multiple`` rounds the padded width up (stabilises jit cache keys
-    across matrices of similar raggedness).
+    across matrices of similar raggedness).  ``width_cap`` bounds the dense
+    base tier's width: rows with more entries spill into overflow chunks of
+    ``chunk_width`` instead of inflating the whole matrix — all entries are
+    still represented exactly.
     """
     import scipy.sparse as sp
 
     csr = sp.csr_matrix(csr)
     n_rows, n_cols = csr.shape
     lengths = np.diff(csr.indptr)
-    width = max(int(lengths.max()) if len(lengths) and lengths.max() > 0 else 1, min_width)
-    width = _round_up(width, pad_multiple)
+    max_nnz = int(lengths.max()) if len(lengths) else 0
+    width = _round_up(max(max_nnz, min_width, 1), pad_multiple)
 
-    idx = np.zeros((n_rows, width), dtype=np.int32)
-    wts = np.zeros((n_rows, width), dtype=np.float32)
-    # Vectorised ragged fill: flat positions of every nnz within its row.
-    if csr.nnz:
-        row_of = np.repeat(np.arange(n_rows), lengths)
-        pos_in_row = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lengths)
-        idx[row_of, pos_in_row] = csr.indices.astype(np.int32)
-        wts[row_of, pos_in_row] = csr.data.astype(np.float32)
+    if width_cap is None or max_nnz <= width_cap:
+        idx = np.zeros((n_rows, width), dtype=np.int32)
+        wts = np.zeros((n_rows, width), dtype=np.float32)
+        _ragged_fill(
+            idx, wts, np.arange(n_rows), lengths, csr.indices, csr.data,
+            csr.indptr[:-1],
+        )
+        return PaddedRows(jnp.asarray(idx), jnp.asarray(wts), n_cols)
 
-    return PaddedRows(jnp.asarray(idx), jnp.asarray(wts), n_cols)
+    C = _round_up(max(width_cap, min_width, 1), pad_multiple)
+    base_idx = np.zeros((n_rows, C), dtype=np.int32)
+    base_wts = np.zeros((n_rows, C), dtype=np.float32)
+    _ragged_fill(
+        base_idx, base_wts, np.arange(n_rows), np.minimum(lengths, C),
+        csr.indices, csr.data, csr.indptr[:-1],
+    )
+
+    over_rows = np.flatnonzero(lengths > C)
+    M = len(over_rows)
+    over_len = lengths[over_rows] - C
+    n_chunks = max(1, -(-int(over_len.max()) // chunk_width))
+    over_idx = np.zeros((M + 1, n_chunks * chunk_width), dtype=np.int32)
+    over_wts = np.zeros((M + 1, n_chunks * chunk_width), dtype=np.float32)
+    _ragged_fill(
+        over_idx, over_wts, np.arange(M), over_len, csr.indices, csr.data,
+        csr.indptr[:-1][over_rows] + C,
+    )
+    slot = np.full(n_rows, M, dtype=np.int32)
+    slot[over_rows] = np.arange(M, dtype=np.int32)
+
+    return ChunkedRows(
+        base=PaddedRows(jnp.asarray(base_idx), jnp.asarray(base_wts), n_cols),
+        over_slot=jnp.asarray(slot),
+        # chunk-major [n_chunks, M+1, C] for direct lax.scan consumption
+        over_idx=jnp.asarray(
+            over_idx.reshape(M + 1, n_chunks, chunk_width).transpose(1, 0, 2)
+        ),
+        over_wts=jnp.asarray(
+            over_wts.reshape(M + 1, n_chunks, chunk_width).transpose(1, 0, 2)
+        ),
+    )
+
+
+def trim_rows(features, n: int):
+    """First ``n`` rows of a padded feature structure (any variant)."""
+    if isinstance(features, IdentityRows):
+        return IdentityRows(features.marker[:n])
+    if isinstance(features, ChunkedRows):
+        return ChunkedRows(
+            base=trim_rows(features.base, n),
+            over_slot=features.over_slot[:n],
+            over_idx=features.over_idx,
+            over_wts=features.over_wts,
+        )
+    return PaddedRows(features.idx[:n], features.wts[:n], features.n_cols)
 
 
 def identity_rows(n: int) -> IdentityRows:
