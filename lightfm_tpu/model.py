@@ -91,6 +91,7 @@ class LightFM:
         mesh=None,
         table_partition="replicated",
         shard_examples=False,
+        example_shuffle="global",
     ):
         # Validation mirrors `lightfm/lightfm.py:205-216` (assertions +
         # max_sampled ValueError); delegated to Hyperparams.__post_init__.
@@ -127,6 +128,13 @@ class LightFM:
         self.mesh = mesh
         self.table_partition = table_partition
         self.shard_examples = shard_examples
+        # "global": one permutation over the whole example block (the
+        # reference's semantics). "local": per-data-shard permutations with
+        # stratified batches — the pod-scale input layout (no shuffle
+        # exchange over DCN); requires mesh + shard_examples.
+        if example_shuffle not in ("global", "local"):
+            raise ValueError("example_shuffle must be 'global' or 'local'")
+        self.example_shuffle = example_shuffle
 
         if random_state is None:
             self.random_state = np.random.RandomState()
@@ -447,14 +455,16 @@ class LightFM:
             for i in self._progress(epochs, verbose=verbose):
                 key = jax.random.key(int(seeds[i]))
                 self._state = run_epoch(
-                    self._state, data, key, hp, batch_size, mesh=self.mesh
+                    self._state, data, key, hp, batch_size, mesh=self.mesh,
+                    shuffle=self.example_shuffle,
                 )
                 self._check_finite()
         elif epochs > 0:
             # Whole fit in ONE dispatch: epochs scanned on device; divergence
             # (`_check_finite`, lightfm.py:447-464) still raises from fit.
             self._state = run_epochs(
-                self._state, data, jnp.asarray(seeds), hp, batch_size, mesh=self.mesh
+                self._state, data, jnp.asarray(seeds), hp, batch_size, mesh=self.mesh,
+                shuffle=self.example_shuffle,
             )
             self._check_finite()
 
@@ -751,6 +761,7 @@ class LightFM:
             "mesh": self.mesh,
             "table_partition": self.table_partition,
             "shard_examples": self.shard_examples,
+            "example_shuffle": getattr(self, "example_shuffle", "global"),
         }
 
     def __sklearn_tags__(self):
@@ -798,6 +809,7 @@ class LightFM:
         state_np = d.pop("_state_np", None)
         self.__dict__.update(d)
         self.__dict__.setdefault("mesh", None)
+        self.__dict__.setdefault("example_shuffle", "global")
         self.__dict__.setdefault("_serving_cache", {})
         if state_np is None:
             self._state = None

@@ -38,7 +38,9 @@ from lightfm_tpu.ops.representation import batch_representation, full_representa
 from lightfm_tpu.sparse import IdentityRows, PaddedRows, trim_rows
 from lightfm_tpu.state import ModelState
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# Plain numpy scalar: a jnp constant here would initialise the XLA backend
+# at import time, breaking jax.distributed.initialize in multi-host workers.
+_NEG_INF = np.float32(-np.inf)
 
 
 def _f32_dot(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -6,3 +6,4 @@ from lightfm_tpu.parallel.mesh import (  # noqa: F401
     shard_state,
     shard_train_data,
 )
+from lightfm_tpu.parallel.ingest import build_local_train_data  # noqa: F401

@@ -120,28 +120,74 @@ def build_train_data(
     )
 
 
-def _epoch(state, data, key, hp, batch_size, mesh):
+def _shuffle_global(packed, kperm, n_batches, batch_size):
+    """Global per-epoch permutation (mirrors `lightfm/lightfm.py:689-690`)
+    as a single multi-operand sort: random u32 keys carry all 8 packed
+    columns as payload (u32 key collisions are resolved stably — a
+    negligible shuffle bias at ~n^2/2^33 tied pairs)."""
+    sort_keys = jax.random.bits(kperm, (packed.shape[1],), jnp.uint32)
+    sorted_ops = jax.lax.sort(
+        [sort_keys] + [packed[i] for i in range(8)], num_keys=1
+    )
+    shuffled = jnp.stack(sorted_ops[1:]).reshape(8, n_batches, batch_size)
+    return jnp.swapaxes(shuffled, 0, 1)  # [n_batches, 8, B] for the scan
+
+
+def _shuffle_local(packed, kperm, n_batches, batch_size, mesh):
+    """Host-local per-epoch shuffle for example-sharded input (pod scale).
+
+    Each data-axis shard key-sorts only its own slice of the packed block
+    and contributes a contiguous ``batch_size / n_data`` sub-batch to every
+    global batch — a stratified permutation: every example still appears
+    exactly once per epoch, every batch mixes all shards, and (unlike the
+    global sort) no cross-device exchange is needed for the shuffle itself.
+    Statistically equivalent to the reference's global permutation at pod
+    scale (doc/roadmap.md); collectives then ride only the update psums.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_data = mesh.shape["data"]
+    if batch_size % n_data or packed.shape[1] % n_data:
+        raise ValueError(
+            "example_shuffle='local' needs batch_size and the padded example "
+            f"count to divide the data axis ({n_data}); got batch_size="
+            f"{batch_size}, n_pad={packed.shape[1]}"
+        )
+
+    def local_sort(pk, keys):
+        # pk: [8, n_pad / n_data] local slice; keys: local random u32s.
+        ops = jax.lax.sort([keys[0]] + [pk[i] for i in range(8)], num_keys=1)
+        out = jnp.stack(ops[1:]).reshape(8, n_batches, batch_size // n_data)
+        return jnp.swapaxes(out, 0, 1)  # [n_batches, 8, B/n_data]
+
+    keys = jax.random.bits(kperm, (n_data, packed.shape[1] // n_data), jnp.uint32)
+    return shard_map(
+        local_sort,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P("data")),
+        out_specs=P(None, None, "data"),
+    )(packed, keys)
+
+
+def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global"):
     """One epoch: device-side shuffle + scan over minibatches.
 
-    The global per-epoch permutation mirrors `lightfm/lightfm.py:689-690`.
     With a mesh, each minibatch is sharded over the 'data' axis so the
     representation/score/update math is data-parallel; gradient scatters into
     replicated or row-sharded tables become XLA collectives under GSPMD.
+    ``shuffle="local"`` keeps the permutation within each data-axis shard
+    (see :func:`_shuffle_local`) for host-sharded example blocks.
     """
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size
     kperm, kbatch = jax.random.split(key)
     keys = jax.random.split(kbatch, n_batches)
 
-    # Shuffle ONCE per epoch as a single multi-operand sort: random u32 keys
-    # carry all 8 packed columns as payload (u32 key collisions are resolved
-    # stably — a negligible shuffle bias at ~n^2/2^33 tied pairs).
-    sort_keys = jax.random.bits(kperm, (n_pad,), jnp.uint32)
-    sorted_ops = jax.lax.sort(
-        [sort_keys] + [data.packed[i] for i in range(8)], num_keys=1
-    )
-    shuffled = jnp.stack(sorted_ops[1:]).reshape(8, n_batches, batch_size)
-    shuffled = jnp.swapaxes(shuffled, 0, 1)  # [n_batches, 8, B] for the scan
+    if shuffle == "local" and mesh is not None:
+        shuffled = _shuffle_local(data.packed, kperm, n_batches, batch_size, mesh)
+    else:
+        shuffled = _shuffle_global(data.packed, kperm, n_batches, batch_size)
 
     step = LOSS_STEPS[hp.loss]
     lazy_reg = hp.item_alpha != 0.0 or hp.user_alpha != 0.0
@@ -170,7 +216,7 @@ def _epoch(state, data, key, hp, batch_size, mesh):
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
+@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle"))
 def run_epoch(
     state: ModelState,
     data: TrainData,
@@ -178,11 +224,12 @@ def run_epoch(
     hp: Hyperparams,
     batch_size: int,
     mesh=None,
+    shuffle: str = "global",
 ) -> ModelState:
-    return _epoch(state, data, key, hp, batch_size, mesh)
+    return _epoch(state, data, key, hp, batch_size, mesh, shuffle)
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh"))
+@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle"))
 def run_epochs(
     state: ModelState,
     data: TrainData,
@@ -190,11 +237,15 @@ def run_epochs(
     hp: Hyperparams,
     batch_size: int,
     mesh=None,
+    shuffle: str = "global",
 ) -> ModelState:
     """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
 
     def body(state, seed):
-        return _epoch(state, data, jax.random.key(seed), hp, batch_size, mesh), None
+        return (
+            _epoch(state, data, jax.random.key(seed), hp, batch_size, mesh, shuffle),
+            None,
+        )
 
     state, _ = jax.lax.scan(body, state, seeds)
     return state
