@@ -155,7 +155,7 @@ class LightFM:
         # lazily whenever the model state changes.
         self._serving_cache: dict = {}
 
-    def _hp(self) -> Hyperparams:
+    def _hp(self, bpr_tries: int = 8) -> Hyperparams:
         return Hyperparams(
             no_components=self.no_components,
             k=int(self.k),
@@ -169,7 +169,34 @@ class LightFM:
             user_alpha=self.user_alpha,
             max_sampled=self.max_sampled,
             batch_size=self.batch_size,
+            bpr_tries=bpr_tries,
         )
+
+    @staticmethod
+    def _bpr_tries_for(interactions) -> int:
+        """Rejection-draw budget for BPR's empirical negative sampling.
+
+        The reference retries up to ``no_examples`` times when a draw lands
+        on a true positive (template:1122-1126) — effectively always finding
+        a negative.  Our batched draw uses a fixed number of tries T; for a
+        user whose positives cover fraction p of the empirical interaction
+        mass, the fall-through probability is p^T.  Size T so the HEAVIEST
+        user falls through < 1e-3 of the time, snapped to powers of two
+        (stable jit cache keys), clamped to [8, 64].
+        """
+        import scipy.sparse as sp
+
+        nnz = interactions.nnz
+        if nnz == 0:
+            return 8
+        max_user = int(
+            np.max(sp.csr_matrix(interactions).getnnz(axis=1), initial=1)
+        )
+        p = min(max_user / nnz, 0.99)
+        if p <= 0:
+            return 8
+        need = int(np.ceil(np.log(1e-3) / np.log(p))) if p > 1e-3 else 1
+        return int(min(64, max(8, 1 << (max(need, 1) - 1).bit_length())))
 
     def _check_initialized(self):
         if self._state is None:
@@ -420,7 +447,11 @@ class LightFM:
         if num_threads < 1:
             raise ValueError("Number of threads must be 1 or larger.")
 
-        hp = self._hp()
+        hp = self._hp(
+            bpr_tries=(
+                self._bpr_tries_for(interactions) if self.loss == "bpr" else 8
+            )
+        )
         batch_size = choose_batch_size(len(interactions.data), self.batch_size)
         data = build_train_data(
             interactions,
