@@ -468,6 +468,13 @@ class LightFM:
             self._state = shard_state(self._state, self.mesh, self.table_partition)
             data = shard_train_data(data, self.mesh, self.shard_examples)
 
+        # Staged device-resident training set, exposed so callers (warm
+        # re-fits, benchmarks) can re-dispatch epochs without re-paying host
+        # prep + upload.  Overwritten every fit_partial.
+        self._staged_train_data = data
+        self._staged_hp = hp
+        self._staged_batch_size = batch_size
+
         # All device randomness is rooted in the numpy RandomState so that
         # seeded runs reproduce and the RNG advances across epochs (the
         # reference's `test_random_state_fixing` contract): one seed drawn
@@ -826,6 +833,10 @@ class LightFM:
         state = d.pop("_state")
         d.pop("mesh", None)  # device handles are not picklable
         d.pop("_serving_cache", None)  # rebuildable device buffers
+        # Staged device-resident training set: rebuildable, not picklable.
+        d.pop("_staged_train_data", None)
+        d.pop("_staged_hp", None)
+        d.pop("_staged_batch_size", None)
         if state is None:
             d["_state_np"] = None
         else:

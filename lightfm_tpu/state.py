@@ -71,6 +71,13 @@ def table_width(no_components: int) -> int:
     return ((no_components + 1 + 7) // 8) * 8
 
 
+def _make_table(key, n: int, D: int, W: int) -> jax.Array:
+    """[n, W] table: U[0,1)-based embeddings in cols 0..D-1, zeros after
+    (pad cols D..W-2, bias col W-1)."""
+    emb = (jax.random.uniform(key, (n, D), jnp.float32) - 0.5) / D
+    return jnp.concatenate([emb, jnp.zeros((n, W - D), jnp.float32)], axis=1)
+
+
 def init_state(
     no_components: int,
     no_item_features: int,
@@ -80,29 +87,29 @@ def init_state(
 ) -> ModelState:
     """Initialise latent state.
 
-    Matches the reference init exactly (`lightfm/lightfm.py:281-312`):
+    Matches the reference init distribution (`lightfm/lightfm.py:281-312`):
     embeddings ~ (U[0,1) - 0.5)/no_components in float32, biases zero,
-    adagrad accumulators start at 1 (for biases too).  Uses the numpy
-    RandomState so that seeded runs are bit-identical across processes.
+    adagrad accumulators start at 1 (for biases too).  Tables are generated
+    ON DEVICE from a key drawn off the numpy RandomState — seeded runs stay
+    deterministic, and large tables never cross the host→device link
+    (~86MB / >2s per 300k x 72 init on remote-device setups).
     """
     D = no_components
     W = table_width(D)
 
-    def make_table(n):
-        emb = ((random_state.rand(n, D) - 0.5) / D).astype(np.float32)
-        # Zero pad columns D..W-2, bias column W-1 (zero-initialised).
-        return np.concatenate([emb, np.zeros((n, W - D), np.float32)], axis=1)
+    seed = int(random_state.randint(0, np.iinfo(np.int32).max))
+    k_item, k_user = jax.random.split(jax.random.key(seed))
 
     # Reference init order: item embeddings first, then user (lightfm.py:287-306).
-    item = make_table(no_item_features)
-    user = make_table(no_user_features)
+    item = _make_table(k_item, no_item_features, D, W)
+    user = _make_table(k_user, no_user_features, D, W)
     grad_init = 1.0 if adagrad else 0.0
 
     return ModelState(
-        item_table=jnp.asarray(item),
+        item_table=item,
         item_acc=jnp.full(item.shape, grad_init, dtype=jnp.float32),
         item_mom=jnp.zeros(item.shape, dtype=jnp.float32),
-        user_table=jnp.asarray(user),
+        user_table=user,
         user_acc=jnp.full(user.shape, grad_init, dtype=jnp.float32),
         user_mom=jnp.zeros(user.shape, dtype=jnp.float32),
         item_log_scale=jnp.float32(0.0),

@@ -210,3 +210,44 @@ class TestChunkedRows:
         t = trim_rows(chunked, 10)
         assert t.n_rows == 10
         assert t.over_slot.shape == (10,)
+
+
+def test_device_positives_match_host_padded_sorted():
+    # train._positives_on_device must agree with the host pad_csr_sorted
+    # path (per-row sorted unique columns, sentinel pad, clipped lengths),
+    # including duplicate (row, col) entries which CSR conversion merges.
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from lightfm_tpu.sparse import pad_csr_sorted
+    from lightfm_tpu.train import _positives_on_device
+
+    rng = np.random.RandomState(0)
+    n_users, n_items, nnz = 64, 200, 2000
+    row = rng.randint(0, n_users, nnz).astype(np.int32)
+    col = rng.randint(0, n_items, nnz).astype(np.int32)  # with duplicates
+    csr = sp.csr_matrix(
+        (np.ones(nnz, np.float32), (row, col)), shape=(n_users, n_items)
+    ).sorted_indices()
+
+    width = 8 * -(-int(np.bincount(row, minlength=n_users).max()) // 8)
+    host = pad_csr_sorted(csr, pad_multiple=8)
+    dev = _positives_on_device(
+        jnp.asarray(row), jnp.asarray(col), n_users, n_items, width
+    )
+    assert np.array_equal(np.asarray(dev.lengths), np.asarray(host.lengths))
+    hw = host.idx.shape[1]
+    # same entries; device width may be the dup-inclusive upper bound
+    assert np.array_equal(np.asarray(dev.idx)[:, :hw], np.asarray(host.idx))
+    assert np.all(np.asarray(dev.idx)[:, hw:] == n_items)
+
+    # width cap: clipped lengths and truncated rows
+    capped_host = pad_csr_sorted(csr, pad_multiple=8, max_width=16)
+    capped_dev = _positives_on_device(
+        jnp.asarray(row), jnp.asarray(col), n_users, n_items, 16
+    )
+    assert np.array_equal(
+        np.asarray(capped_dev.lengths), np.asarray(capped_host.lengths)
+    )
+    assert np.array_equal(
+        np.asarray(capped_dev.idx), np.asarray(capped_host.idx)
+    )
