@@ -32,7 +32,18 @@ def generate_synthetic(
     Items are chosen per user by Gumbel top-k over
     ``beta * <u, v> + skew * log(popularity) + noise`` — i.e. users prefer
     items aligned with their latent factors, moderated by a Zipf popularity
-    prior.  Ratings 1-5 are assigned by within-user score quantile.
+    prior.  Ratings 1-5 follow ML-100k's global histogram, correlated with
+    within-user preference.
+
+    Marginals are tuned to MovieLens 100k at default arguments (measured /
+    real): rating histogram 6.1/11.3/27.2/34.2/21.2 vs 6.1/11.4/27.1/34.2/
+    21.2 %, user degrees min/median/mean/max 20/68/101/737 vs 20/65/106/737,
+    ~95k vs 100k interactions; beta=4.5 calibrates WARP learnability to the
+    reference's real-data floors (train AUC ~0.94, p@5 ~0.6).  Known deltas:
+    the degree tail is lognormal (real data is slightly heavier above ~400),
+    the most-popular item draws ~740 vs 583 interactions, and logistic-loss
+    train AUC runs ~0.73 vs the reference's 0.84 (the twin's within-user
+    rating noise differs from real rating behaviour).
 
     Returns the same dict shape as :func:`fetch_movielens`:
     ``{train, test, item_features, item_feature_labels, item_labels}``.
@@ -46,10 +57,16 @@ def generate_synthetic(
     rng.shuffle(pop)
     log_pop = popularity_skew * np.log(pop).astype(np.float32)
 
+    # Degree distribution tuned to ML-100k's marginals: user interaction
+    # counts are lognormal with mean/median ~= 106/65 (sigma ~0.95), floored
+    # at 20 (the dataset's hard minimum) and capped at 737 (its heaviest
+    # user) scaled to the requested size.  Delta vs real data: the true
+    # degree tail is slightly heavier than lognormal above ~400.
+    scale = interactions_per_user / 106.0
     counts = np.clip(
-        rng.lognormal(mean=np.log(interactions_per_user), sigma=0.6, size=n_users),
-        test_per_user + 5,
-        n_items // 2,
+        rng.lognormal(mean=np.log(0.61 * interactions_per_user), sigma=0.95, size=n_users),
+        max(test_per_user + 5, int(round(20 * scale))),
+        min(n_items // 2, max(int(round(737 * scale)), test_per_user + 10)),
     ).astype(np.int64)
 
     rows, cols, ratings = [], [], []
@@ -57,7 +74,7 @@ def generate_synthetic(
         stop = min(start + user_block, n_users)
         scores = U[start:stop] @ V.T  # [ub, n_items]
         keys = (
-            3.0 * scores
+            4.5 * scores
             + log_pop[None, :]
             + noise * rng.gumbel(size=scores.shape).astype(np.float32)
         )
@@ -66,9 +83,14 @@ def generate_synthetic(
             c = counts[start + u_local]
             chosen = order[u_local, :c]
             s = scores[u_local, chosen]
-            # Rating = within-user score quintile (1..5).
-            q = np.argsort(np.argsort(s))
-            r = 1 + (q * 5) // max(len(s), 1)
+            # Rating = within-user score quantile mapped through ML-100k's
+            # GLOBAL rating histogram (1:6.1%, 2:11.4%, 3:27.1%, 4:34.2%,
+            # 5:21.2%) so the marginal rating distribution matches the real
+            # dataset while staying correlated with preference.
+            q = (np.argsort(np.argsort(s)) + 0.5) / max(len(s), 1)
+            r = 1 + np.searchsorted(
+                [0.0611, 0.1748, 0.4462, 0.7880], q, side="right"
+            )
             rows.append(np.full(c, start + u_local, dtype=np.int32))
             cols.append(chosen.astype(np.int32))
             ratings.append(np.clip(r, 1, 5).astype(np.int32))

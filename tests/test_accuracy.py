@@ -5,14 +5,17 @@ The reference enforces metric floors on MovieLens 100k
 same strategy runs against :func:`generate_synthetic` instead.  Floors are
 calibrated against the sequential oracle (tests/_reference_oracle.py), an
 independent numpy implementation of the reference's per-sample algorithm,
-which reaches on this dataset (10 epochs, seed 10):
+which reaches on this dataset (10 epochs, seed 10; twin recalibrated to
+ML-100k marginals in round 2):
 
-    warp     AUC train/test = 0.9415 / 0.8995
-    bpr      AUC train/test = 0.9082 / 0.8666
-    logistic AUC train/test = 0.7984 / 0.7417
-    warp-kos AUC train/test = 0.7753 / 0.7470
+    warp     AUC train/test = 0.9479 / 0.9060
+    bpr      AUC train/test = 0.9254 / 0.8842
+    logistic AUC train/test = 0.7355 / 0.6871
+    warp-kos AUC train/test = 0.8443 / 0.8074
 
-Floors below sit a small margin under the oracle, exactly how the
+Our batched trainer measures within 0.013 AUC of the oracle on every row
+(logistic 0.7310, bpr 0.9138, warp 0.9427, kos 0.8404 train AUC).  Floors
+below sit a small margin under those measurements, exactly how the
 reference's CI floors sit under its typical metrics.
 """
 
@@ -60,9 +63,12 @@ def test_logistic_accuracy():
     model = LightFM(random_state=SEED)
     model.fit_partial(train, epochs=10)
     ptr, pte, atr, ate = _get_metrics(model, train, test)
-    assert ptr > 0.28
-    assert atr > 0.77
-    assert ate > 0.71
+    # Oracle parity is tight (0.731 vs 0.736); absolute logistic numbers on
+    # the twin run below the reference's real-data 0.84 (documented delta
+    # in datasets/synthetic.py).
+    assert ptr > 0.19
+    assert atr > 0.71
+    assert ate > 0.66
 
 
 def test_bpr_accuracy():
@@ -70,9 +76,9 @@ def test_bpr_accuracy():
     model.fit_partial(train, epochs=10)
     ptr, pte, atr, ate = _get_metrics(model, train, test)
     assert ptr > 0.45
-    assert pte > 0.04
-    assert atr > 0.88
-    assert ate > 0.84
+    assert pte > 0.05
+    assert atr > 0.89
+    assert ate > 0.85
 
 
 def test_warp_accuracy():
@@ -80,9 +86,9 @@ def test_warp_accuracy():
     model.fit_partial(train, epochs=10)
     ptr, pte, atr, ate = _get_metrics(model, train, test)
     assert ptr > 0.5
-    assert pte > 0.04
+    assert pte > 0.06
     assert atr > 0.92
-    assert ate > 0.87
+    assert ate > 0.88
 
 
 def test_warp_adadelta_accuracy():
@@ -95,24 +101,22 @@ def test_warp_adadelta_accuracy():
     )
     model.fit_partial(train, epochs=10)
     ptr, pte, atr, ate = _get_metrics(model, train, test)
-    assert ptr > 0.4
-    assert atr > 0.88
-    assert ate > 0.84
+    assert ptr > 0.55
+    assert atr > 0.94
+    assert ate > 0.90
 
 
 def test_warp_kos_accuracy():
-    # The oracle (reference algorithm) reaches 0.7753/0.7470 on this dataset;
-    # k-OS is inherently weaker here because it optimises the k-th order
-    # statistic over ALL interactions including low-rated ones.
+    # The oracle reaches 0.8443/0.8074 on this dataset; k-OS is weaker than
+    # WARP here because it optimises the k-th order statistic over ALL
+    # interactions including low-rated ones.  The principled check against
+    # the oracle at matched config is tests/test_oracle_parity.py.
     model = LightFM(loss="warp-kos", k=5, random_state=SEED)
     model.fit_partial(train, epochs=10)
     ptr, pte, atr, ate = _get_metrics(model, train, test)
-    # Floor is seed-sensitive for kOS (0.33-0.37 across init streams); the
-    # principled check against the sequential oracle at matched config is
-    # tests/test_oracle_parity.py (margin 0.05).
-    assert ptr > 0.33
-    assert atr > 0.74
-    assert ate > 0.70
+    assert ptr > 0.39
+    assert atr > 0.82
+    assert ate > 0.78
 
 
 def test_max_sampled_zero_negatives_means_no_learning():

@@ -168,3 +168,21 @@ def test_stackexchange_fetch_offline_roundtrip(tmp_path):
     test_ts = [d[(r, c)] for r, c in zip(test.row, test.col)]
     assert max(train_ts) <= min(test_ts)
     assert data["item_features"].shape[1] == train.shape[1] + 8
+
+
+def test_synthetic_matches_ml100k_marginals():
+    # The twin must track the real dataset's marginals (the floors in
+    # test_accuracy are only meaningful if the data distribution is close):
+    # rating histogram, degree quantiles, interaction count.
+    d = generate_synthetic(seed=42)
+    full = (d["train"] + d["test"]).tocoo()
+    hist = np.bincount(full.data.astype(int), minlength=6)[1:]
+    frac = hist / hist.sum()
+    ml = np.array([0.0611, 0.1137, 0.2715, 0.3417, 0.2120])
+    assert np.abs(frac - ml).max() < 0.02
+    deg = np.bincount(full.row)
+    assert deg.min() >= 20
+    assert 55 <= np.median(deg) <= 80
+    assert 90 <= deg.mean() <= 115
+    assert deg.max() <= 737
+    assert 85_000 <= full.nnz <= 105_000
