@@ -73,6 +73,33 @@ def sparse_update(
     mask_f = mask.astype(table.dtype)[:, None]  # [M, 1]
     wg = (w * mask)[:, None] * g  # [M, W]; masked touches contribute 0
 
+    # Small-table fast path: replace the scatter pair with one-hot MXU
+    # matmuls.  TPU scatters serialize per updated row (~25ns each), so a
+    # quickstart-sized step burns ~half its ~128us wall in scatters; dense
+    # [M, R] one-hot contractions are a few microseconds.  Mathematically
+    # identical to the scatter formulation (adagrad's lr reads the
+    # pre-batch accumulator, which is row-constant, so per-row sums
+    # commute); f32 summation order differs only.
+    R = table.shape[0]
+    if (
+        not adadelta
+        and alpha == 0.0
+        and R * W <= (1 << 19)
+        and idx.shape[0] * R <= (32 << 20)
+    ):
+        onehot = (
+            idx[:, None] == jnp.arange(R, dtype=idx.dtype)[None, :]
+        ).astype(table.dtype)  # [M, R]
+        s1 = jnp.matmul(onehot.T, wg, preferred_element_type=jnp.float32)
+        s2 = jnp.matmul(onehot.T, wg * wg, preferred_element_type=jnp.float32)
+        table = table - learning_rate * jax.lax.rsqrt(acc) * s1
+        acc = acc + s2
+        if squeeze:
+            table, acc, mom = table[:, 0], acc[:, 0], mom[:, 0]
+        # alpha == 0: callers skip the scale bookkeeping entirely.
+        zero = jnp.float32(0.0)
+        return table, acc, mom, zero, zero
+
     import os
 
     if (

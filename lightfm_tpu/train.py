@@ -65,10 +65,11 @@ def choose_batch_size(n_examples: int, requested: Optional[int]) -> int:
     if requested is not None:
         return int(requested)
     # Calibrated against the sequential oracle (tests/_reference_oracle.py)
-    # and the accuracy-floor suite: ~n/64 (min 512) keeps enough optimizer
+    # and the accuracy-floor suite: ~n/64 (min 1024) keeps enough optimizer
     # steps per epoch to match the reference's accuracy floors while cutting
-    # the dispatch-bound step count on small datasets (~15% on ML-100k).
-    target = max(512, min(8192, n_examples // 64))
+    # the dispatch-bound step count on small datasets (the ML-100k
+    # quickstart measures both faster AND more accurate at 1024 than 512).
+    target = max(1024, min(8192, n_examples // 64))
     # Round to a power of two for stable jit cache keys.
     return 1 << (int(target) - 1).bit_length()
 
