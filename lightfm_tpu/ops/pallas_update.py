@@ -1,37 +1,48 @@
 """Pallas TPU kernel: blocked adagrad embedding update (scatter-free).
 
-XLA:TPU lowers duplicate-index scatter-adds into serialized row writes
-(~24ns/row measured on v5e) — half the WARP epoch.  This kernel reformulates
-the update as block-dense linear algebra:
+XLA:TPU lowers duplicate-index scatter-adds into serialized row writes —
+roughly half of a large WARP epoch.  This kernel reformulates the update
+as block-dense linear algebra over SORTED touches:
 
-1. (XLA) sort the M touches by table row; compute, per table block of
-   ``BLOCK_R`` rows, the chunk range of touches that can land in it
-   (searchsorted — touches are sorted, so ranges are contiguous).
-2. (Pallas, grid over table blocks) DMA the block's touch chunks from HBM;
-   for each chunk build a one-hot [TILE_R, CHUNK] matrix (row == touch
-   index) and accumulate ``sum_wg += onehot @ wg`` and
-   ``sum_wg2 += onehot @ wg^2`` on the MXU — duplicate touches combine in
-   the matmul, no serialization.
-3. apply adagrad blockwise: ``table -= lr0 * rsqrt(acc_pre) * sum_wg;
-   acc += sum_wg2`` (the pre-batch accumulator rule of ops.updates).
+1. (XLA) sort the M touches by table row (argsort + payload gather,
+   ~1.2ms per 262k x 72 on v5e).
+2. (XLA) build a WORKLIST of (table block, touch chunk) intersections.
+   Sorted touches make chunk block-spans contiguous and the total
+   intersection count is bounded by ``n_chunks + n_blocks - 1``; block ids
+   along the worklist are NON-DECREASING, so each output block's visits
+   are consecutive.
+3. (Pallas, 1-D grid over the worklist, scalar-prefetched block/chunk
+   ids) every grid step streams one touch chunk against one table block:
+   a one-hot [TILE_R, CHUNK] matmul accumulates ``sum_wg`` and
+   ``sum_wg2`` on the MXU (duplicates combine in the contraction — no
+   serialization), skipping tiles outside the chunk's sorted row span.
+   On a block's last visit, adagrad applies blockwise:
+   ``table -= lr0 * rsqrt(acc_pre) * sum_wg; acc += sum_wg2`` (the
+   pre-batch accumulator rule of ops.updates).
 
-The table/acc blocks stream through VMEM once per update; all compute is
-f32 (one-hot values are exact in any dtype; HIGHEST precision keeps the
-update bit-faithful to the XLA formulation up to summation order).
+The Pallas pipeline double-buffers the chunk/block DMAs automatically
+(the round-1 version's manual DMAs both serialized and required 128-lane
+padding of the gradient payload — a ~134MB/step materialisation).
+Untouched table blocks are never visited; input/output aliasing leaves
+them bit-identical.
 
 Restrictions: adagrad schedule, no lazy-L2 alpha, 2-D tables.
+Exactness: matches ops.updates' adagrad branch up to f32 summation order.
 
-STATUS — experimental, opt-in via LIGHTFM_TPU_PALLAS_UPDATE=1 (adagrad,
-alpha==0, TPU only).  Correct everywhere (differential-tested; full WARP
-epochs train correctly on v5e with the 32MB kernel VMEM limit).  In an
-isolated update-only scan it measures 1.5x faster than the XLA scatter
-(7.4ms vs 11.0ms per [262144, 72]-touch step, including its sort), but
-composed into the full epoch it is ~1.7x SLOWER end-to-end (1.47s vs
-0.84s per 5M-example epoch): the argsort + lane-pad wrapper runs on the
-critical path every step and the pallas_call is a pipeline barrier where
-XLA's scatters overlap with neighbouring ops.  The follow-up is fusing
-the sort into the kernel and double-buffering the chunk DMAs.  Default
-training keeps ops.updates' XLA scatters.
+STATUS — experimental, opt-in via LIGHTFM_TPU_PALLAS_UPDATE=1.  Correct
+everywhere (differential-tested incl. multi-block/ragged/hot-row cases;
+verified against numpy on real v5e at production sizes).  In isolation it
+is 3.9x faster than the XLA scatter pair (2.09ms vs 8.23ms per
+262k x 72-touch step — the round-1 version's losses from manual-DMA lane
+padding and serial chunk copies are gone).  Composed into the full WARP
+epoch it still LOSES (~1.3x slower at B=65536): the per-step argsort +
+payload gather + worklist construction sit on the critical path as extra
+kernels and the pallas_call remains a pipeline barrier, and at B=131072
+the composed program currently dies with a runtime INVALID_ARGUMENT
+(standalone scan compositions of the same shapes run fine — Mosaic/
+runtime interaction under investigation).  Default training keeps
+ops.updates' XLA scatters; the isolated win documents exactly how much
+is on the table for a future in-kernel sort.
 """
 
 from __future__ import annotations
@@ -43,89 +54,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_R = 2048  # table rows per grid step (VMEM-bounded)
-CHUNK = 1024  # touches DMA'd per inner iteration
-TILE_R = 256  # one-hot tile rows (MXU-friendly, VMEM-bounded)
+BLOCK_R = 2048  # table rows per block (VMEM-bounded)
+CHUNK = 1024  # touches per worklist step
+TILE_R = 256  # one-hot tile rows (MXU-friendly)
 
 _SENTINEL = jnp.int32(2**30)  # touch row id that matches no block
 
 
 def _update_kernel(
-    bounds_ref,  # scalar prefetch: int32 [n_blocks, 2] chunk ranges
-    table_ref,  # VMEM [BLOCK_R, W] (aliased output)
-    acc_ref,  # VMEM [BLOCK_R, W] (aliased output)
-    idx_hbm,  # ANY [m_pad] int32 sorted touch rows
-    wg_hbm,  # ANY [n_chunks, CHUNK, Wk] f32 sorted touch gradients (lane-padded)
+    # scalar prefetch
+    block_of,  # int32 [L] worklist block ids (non-decreasing; repeats pad)
+    chunk_of,  # int32 [L] worklist chunk ids
+    flags,  # int32 [L, 2]: [:, 0] first-visit, [:, 1] last-visit
+    # blocked inputs
+    table_ref,  # VMEM [BLOCK_R, W] (aliased)
+    acc_ref,  # VMEM [BLOCK_R, W] (aliased)
+    idx_ref,  # VMEM [CHUNK] sorted touch rows for this chunk
+    wg_ref,  # VMEM [CHUNK, W] sorted touch gradients
+    # outputs
     table_out,
     acc_out,
-    sum_wg,  # VMEM scratch [BLOCK_R, W]
-    sum_wg2,  # VMEM scratch [BLOCK_R, W]
-    idx_s,  # VMEM scratch [1, CHUNK] int32
-    wg_s,  # VMEM scratch [CHUNK, W]
-    sem_i,
-    sem_w,
+    # scratch
+    sum_wg,  # VMEM [BLOCK_R, W]
+    sum_wg2,  # VMEM [BLOCK_R, W]
     *,
     learning_rate: float,
 ):
-    b = pl.program_id(0)
-    block_start = b * BLOCK_R
+    i = pl.program_id(0)
+    block_start = block_of[i] * BLOCK_R
 
-    sum_wg[...] = jnp.zeros_like(sum_wg)
-    sum_wg2[...] = jnp.zeros_like(sum_wg2)
+    @pl.when(flags[i, 0] == 1)
+    def _init():
+        sum_wg[...] = jnp.zeros_like(sum_wg)
+        sum_wg2[...] = jnp.zeros_like(sum_wg2)
 
-    c_lo = bounds_ref[b, 0]
-    c_hi = bounds_ref[b, 1]
+    local = idx_ref[:] - block_start  # [CHUNK]
+    wg = wg_ref[...]
+    # Sorted touches: only tiles intersecting [min, max] do any work.
+    lo = jnp.min(local)
+    hi = jnp.max(jnp.where(local < BLOCK_R, local, -1))
+    t_lo = jnp.clip(lo // TILE_R, 0, BLOCK_R // TILE_R)
+    t_hi = jnp.clip(hi // TILE_R + 1, 0, BLOCK_R // TILE_R)
 
-    def chunk_body(c, _):
-        start = pl.multiple_of(c * CHUNK, CHUNK)
-        cp_i = pltpu.make_async_copy(idx_hbm.at[pl.ds(start, CHUNK)], idx_s, sem_i)
-        cp_w = pltpu.make_async_copy(wg_hbm.at[c], wg_s, sem_w)
-        cp_i.start()
-        cp_w.start()
-        cp_i.wait()
-        cp_w.wait()
-
-        local = idx_s[...] - block_start  # [CHUNK]
-        wg = wg_s[...]
-        lo = jnp.min(local)
-        hi = jnp.max(local)
-        # Sorted touches: only tiles intersecting [lo, hi] do any work; a
-        # fori_loop (not an unrolled python loop) keeps ONE one-hot buffer
-        # live on the VMEM stack.
-        t_lo = jnp.clip(lo // TILE_R, 0, BLOCK_R // TILE_R)
-        t_hi = jnp.clip(hi // TILE_R + 1, 0, BLOCK_R // TILE_R)
-
-        def tile_body(t, _):
-            rows = (
-                jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0)
-                + t * TILE_R
-            )
-            oh = (rows == local[None, :]).astype(jnp.float32)
-            d1 = jnp.dot(
-                oh, wg,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            d2 = jnp.dot(
-                oh, wg * wg,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            off = pl.ds(t * TILE_R, TILE_R)
-            sum_wg[off, :] += d1
-            sum_wg2[off, :] += d2
-            return 0
-
-        jax.lax.fori_loop(t_lo, t_hi, tile_body, 0)
+    def tile_body(t, _):
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0) + t * TILE_R
+        )
+        oh = (rows == local[None, :]).astype(jnp.float32)
+        d1 = jnp.dot(oh, wg, preferred_element_type=jnp.float32)
+        d2 = jnp.dot(oh, wg * wg, preferred_element_type=jnp.float32)
+        off = pl.ds(t * TILE_R, TILE_R)
+        sum_wg[off, :] += d1
+        sum_wg2[off, :] += d2
         return 0
 
-    jax.lax.fori_loop(c_lo, c_hi, chunk_body, 0)
+    jax.lax.fori_loop(t_lo, t_hi, tile_body, 0)
 
-    W = table_ref.shape[1]
-    acc_pre = acc_ref[...]
-    lr = learning_rate * jax.lax.rsqrt(acc_pre)
-    table_out[...] = table_ref[...] - lr * sum_wg[:, :W]
-    acc_out[...] = acc_pre + sum_wg2[:, :W]
+    @pl.when(flags[i, 1] == 1)
+    def _finalize():
+        acc_pre = acc_ref[...]
+        lr = learning_rate * jax.lax.rsqrt(acc_pre)
+        table_out[...] = table_ref[...] - lr * sum_wg[...]
+        acc_out[...] = acc_pre + sum_wg2[...]
 
 
 @functools.partial(jax.jit, static_argnames=("learning_rate", "interpret"))
@@ -138,7 +128,7 @@ def adagrad_update_pallas(
     learning_rate: float,
     interpret: bool = False,
 ):
-    """Adagrad table update via the blocked one-hot-matmul kernel.
+    """Adagrad table update via the sorted-worklist one-hot-matmul kernel.
 
     Exactly matches the XLA formulation of ops.updates.sparse_update's
     adagrad branch (pre-batch accumulator lr; duplicate touches summed) up
@@ -146,52 +136,89 @@ def adagrad_update_pallas(
     """
     R, W = table.shape
     M = idx.shape[0]
-    # Manual chunk DMAs need 128-lane alignment; pad the gradient lanes.
-    Wk = ((W + 127) // 128) * 128
+    # Ragged last block: Pallas pads out-of-bounds block reads and masks
+    # out-of-bounds writes, and no real touch lands beyond R, so the tail
+    # rows of the final block are never meaningfully read or written.
+    n_blocks = -(-R // BLOCK_R)
 
     order = jnp.argsort(idx)
     sidx = idx[order]
-    swg = jnp.zeros((M, Wk), wg.dtype).at[:, :W].set(wg[order])
+    swg = wg[order]
 
-    m_pad = ((M + CHUNK - 1) // CHUNK) * CHUNK
+    m_pad = -(-M // CHUNK) * CHUNK
     if m_pad != M:
         sidx = jnp.concatenate(
             [sidx, jnp.full((m_pad - M,), _SENTINEL, jnp.int32)]
         )
-        swg = jnp.concatenate([swg, jnp.zeros((m_pad - M, Wk), swg.dtype)])
-    # Out-of-table touches (masked/sentinel) must sort to the tail and never
-    # land in a block.
+        swg = jnp.concatenate([swg, jnp.zeros((m_pad - M, W), swg.dtype)])
     sidx = jnp.where(sidx >= R, _SENTINEL, sidx)
     n_chunks = m_pad // CHUNK
 
-    n_blocks = (R + BLOCK_R - 1) // BLOCK_R
-    # Chunk range per block: touches are sorted, so block b's touches live in
-    # chunks [first_touch/CHUNK, (last_touch + CHUNK-1)/CHUNK).
-    starts = jnp.searchsorted(sidx, jnp.arange(n_blocks) * BLOCK_R)
-    ends = jnp.searchsorted(sidx, (jnp.arange(n_blocks) + 1) * BLOCK_R)
-    bounds = jnp.stack([starts // CHUNK, (ends + CHUNK - 1) // CHUNK], axis=1)
-    bounds = bounds.astype(jnp.int32)
+    # --- worklist construction (all shapes static) ---------------------
+    # Chunk c's touches span table blocks [f_c, l_c] (contiguous: sorted).
+    first_t = sidx[:: CHUNK]  # [n_chunks]
+    last_t = sidx[CHUNK - 1 :: CHUNK]
+    f = jnp.minimum(first_t // BLOCK_R, n_blocks)  # sentinel -> n_blocks
+    l = jnp.minimum(last_t // BLOCK_R, n_blocks)
+    # Number of REAL blocks [f, min(l, n_blocks-1)] when the chunk has any
+    # real touches (sentinel-only chunks contribute no work).
+    span = jnp.where(f < n_blocks, jnp.minimum(l, n_blocks - 1) - f + 1, 0)
+    L = n_chunks + n_blocks  # static upper bound on total intersections
+    pos = jnp.cumsum(span) - span  # start slot of chunk c's run
+    total = jnp.sum(span)
+
+    slot = jnp.arange(L, dtype=jnp.int32)
+    # chunk of slot i: the run containing i (searchsorted over run starts).
+    c_of = jnp.clip(
+        jnp.searchsorted(pos, slot, side="right").astype(jnp.int32) - 1,
+        0,
+        n_chunks - 1,
+    )
+    b_of = (f[c_of] + (slot - pos[c_of])).astype(jnp.int32)
+    valid = slot < total
+    # Padding slots repeat the last valid block so they neither init nor
+    # flush a fresh block; point them at block 0 chunk 0 when empty.
+    last_b = jnp.where(total > 0, b_of[jnp.maximum(total - 1, 0)], 0)
+    b_of = jnp.where(valid, b_of, last_b).astype(jnp.int32)
+    c_of2 = jnp.where(valid, c_of, jnp.where(total > 0, c_of[jnp.maximum(total - 1, 0)], 0))
+
+    prev_b = jnp.concatenate([jnp.full((1,), -1, jnp.int32), b_of[:-1]])
+    next_b = jnp.concatenate([b_of[1:], jnp.full((1,), -2, jnp.int32)])
+    next_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    first_visit = valid & (b_of != prev_b)
+    last_visit = valid & ((b_of != next_b) | (~next_valid))
+    flags = jnp.stack(
+        [first_visit.astype(jnp.int32), last_visit.astype(jnp.int32)], axis=1
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
+        num_scalar_prefetch=3,
+        grid=(L,),
         in_specs=[
-            pl.BlockSpec((BLOCK_R, W), lambda b, _: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, W), lambda b, _: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (BLOCK_R, W), lambda i, b, c, fl: (b[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_R, W), lambda i, b, c, fl: (b[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (CHUNK,), lambda i, b, c, fl: (c[i],), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (CHUNK, W), lambda i, b, c, fl: (c[i], 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK_R, W), lambda b, _: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, W), lambda b, _: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (BLOCK_R, W), lambda i, b, c, fl: (b[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BLOCK_R, W), lambda i, b, c, fl: (b[i], 0), memory_space=pltpu.VMEM
+            ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_R, Wk), jnp.float32),
-            pltpu.VMEM((BLOCK_R, Wk), jnp.float32),
-            pltpu.VMEM((CHUNK,), jnp.int32),
-            pltpu.VMEM((CHUNK, Wk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((BLOCK_R, W), jnp.float32),
+            pltpu.VMEM((BLOCK_R, W), jnp.float32),
         ],
     )
 
@@ -199,19 +226,21 @@ def adagrad_update_pallas(
         functools.partial(_update_kernel, learning_rate=learning_rate),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         out_shape=[
             jax.ShapeDtypeStruct(table.shape, table.dtype),
             jax.ShapeDtypeStruct(acc.shape, acc.dtype),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )(
-        bounds,
+        b_of,
+        c_of2.astype(jnp.int32),
+        flags,
         table,
         acc,
-        sidx,
-        swg.reshape(n_chunks, CHUNK, Wk),
+        sidx,  # [m_pad]; blocked as (CHUNK,) runs at chunk offsets
+        swg,  # [m_pad, W]; blocked as (CHUNK, W) rows at chunk offsets
     )
     return new_table, new_acc

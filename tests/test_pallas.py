@@ -294,3 +294,31 @@ def test_ranks_fused_exact_multiple_of_item_block():
         ranking._ranks_flat(*args, n_items=n_items, user_block=user_block)
     )
     assert np.abs(fused - flat).max() <= 1
+
+
+def test_adagrad_update_pallas_multiblock():
+    # Worklist path across many chunks and table blocks, with duplicates,
+    # skew (hot rows), masked touches, and a non-multiple table height.
+    from lightfm_tpu.ops.pallas_update import adagrad_update_pallas
+
+    rng = np.random.RandomState(1)
+    R, W, M = 7000, 24, 5000
+    table = rng.randn(R, W).astype(np.float32)
+    acc = np.ones((R, W), np.float32) + rng.rand(R, W).astype(np.float32)
+    idx = rng.randint(0, R, M).astype(np.int32)
+    idx[: M // 4] = rng.randint(0, 50, M // 4)  # hot-row skew
+    wg = rng.randn(M, W).astype(np.float32)
+    wg[::13] = 0.0
+
+    lr = 0.05
+    lr_local = lr / np.sqrt(acc[idx])
+    t_ref, a_ref = table.copy(), acc.copy()
+    np.add.at(t_ref, idx, -(lr_local * wg))
+    np.add.at(a_ref, idx, wg * wg)
+
+    t2, a2 = adagrad_update_pallas(
+        jnp.asarray(table), jnp.asarray(acc), jnp.asarray(idx), jnp.asarray(wg),
+        learning_rate=lr, interpret=True,
+    )
+    assert np.allclose(np.asarray(t2), t_ref, atol=1e-4)
+    assert np.allclose(np.asarray(a2), a_ref, atol=1e-4)
