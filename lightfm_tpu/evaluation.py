@@ -1,10 +1,14 @@
-"""Rank-based evaluation metrics, mirroring ``lightfm/evaluation.py``.
+"""Rank-based evaluation metrics.
 
-All four metrics derive from :meth:`LightFM.predict_rank` (the TPU-resident
-dense ranking path); the O(test_nnz) rank→metric reductions run as vectorised
-host numpy, exactly as the reference runs them on the CSR data arrays.
-``auc_score`` reproduces ``calculate_auc_from_rank``
-(`_lightfm_fast.pyx.template:1326-1376`) including its tie de-duplication.
+Behavioral parity target: ``lightfm/evaluation.py`` — the four public
+metrics and their exact semantics (pessimistic ``>=`` ties, zero-positive
+rows dropped unless ``preserve_rows``, 0.5 AUC for single-class users).
+All four derive from :meth:`LightFM.predict_rank` (the TPU-resident dense
+ranking path); the O(test_nnz) rank→metric reductions run as vectorised
+host numpy.  ``auc_score`` reproduces ``calculate_auc_from_rank``
+(`_lightfm_fast.pyx.template:1326-1376`) including its tie
+de-duplication.  Structurally the module is one shared rank-fetch helper
+plus a per-metric reduction each.
 """
 
 from __future__ import annotations
@@ -14,9 +18,35 @@ import numpy as np
 __all__ = ["precision_at_k", "recall_at_k", "auc_score", "reciprocal_rank"]
 
 
-def _check_threads(num_threads):
+def _ranks_for(model, test_interactions, num_threads, kwargs):
+    """Shared front half of every metric: validate, rank the test set."""
     if num_threads < 1:
         raise ValueError("Number of threads must be 1 or larger.")
+    return model.predict_rank(
+        test_interactions,
+        train_interactions=kwargs.get("train_interactions"),
+        user_features=kwargs.get("user_features"),
+        item_features=kwargs.get("item_features"),
+        num_threads=num_threads,
+        check_intersections=kwargs.get("check_intersections", True),
+    )
+
+
+def _drop_empty_rows(values, test_interactions, preserve_rows):
+    """The reference averages only over users WITH test positives."""
+    if preserve_rows:
+        return values
+    return values[test_interactions.getnnz(axis=1) > 0]
+
+
+def _hits_below_k(ranks, k) -> np.ndarray:
+    """Per-user count of stored ranks < k (implicit zeros are NOT ranks)."""
+    csr = ranks.tocsr()
+    lengths = np.diff(csr.indptr)
+    row_of = np.repeat(np.arange(csr.shape[0]), lengths)
+    return np.bincount(
+        row_of, weights=(csr.data < k), minlength=csr.shape[0]
+    )
 
 
 def precision_at_k(
@@ -32,26 +62,12 @@ def precision_at_k(
 ):
     """Fraction of known positives in the first k ranked results per user.
 
-    Mirrors `lightfm/evaluation.py:14-87`.
+    Parity: `lightfm/evaluation.py:14-87`.
     """
-    _check_threads(num_threads)
-
-    ranks = model.predict_rank(
-        test_interactions,
-        train_interactions=train_interactions,
-        user_features=user_features,
-        item_features=item_features,
-        num_threads=num_threads,
-        check_intersections=check_intersections,
+    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    return _drop_empty_rows(
+        _hits_below_k(ranks, k) / k, test_interactions, preserve_rows
     )
-
-    ranks.data = np.less(ranks.data, k, ranks.data)
-    precision = np.squeeze(np.array(ranks.sum(axis=1))) / k
-
-    if not preserve_rows:
-        precision = precision[test_interactions.getnnz(axis=1) > 0]
-
-    return precision
 
 
 def recall_at_k(
@@ -65,28 +81,16 @@ def recall_at_k(
     num_threads=1,
     check_intersections=True,
 ):
-    """Hits in the first k over number of test positives per user
-    (`lightfm/evaluation.py:90-166`)."""
-    _check_threads(num_threads)
+    """Hits in the first k over number of test positives per user.
 
-    ranks = model.predict_rank(
-        test_interactions,
-        train_interactions=train_interactions,
-        user_features=user_features,
-        item_features=item_features,
-        num_threads=num_threads,
-        check_intersections=check_intersections,
-    )
-
-    ranks.data = np.less(ranks.data, k, ranks.data)
-    retrieved = np.squeeze(test_interactions.getnnz(axis=1))
-    hit = np.squeeze(np.array(ranks.sum(axis=1)))
-
-    if not preserve_rows:
-        hit = hit[test_interactions.getnnz(axis=1) > 0]
-        retrieved = retrieved[test_interactions.getnnz(axis=1) > 0]
-
-    return hit / retrieved
+    Parity: `lightfm/evaluation.py:90-166`.
+    """
+    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    hits = _hits_below_k(ranks, k)
+    n_pos = test_interactions.getnnz(axis=1)
+    hits = _drop_empty_rows(hits, test_interactions, preserve_rows)
+    n_pos = _drop_empty_rows(n_pos, test_interactions, preserve_rows)
+    return hits / n_pos
 
 
 def _auc_from_ranks(ranks_csr, num_train_positives):
@@ -138,33 +142,20 @@ def auc_score(
     num_threads=1,
     check_intersections=True,
 ):
-    """ROC AUC per user (`lightfm/evaluation.py:169-254`)."""
-    _check_threads(num_threads)
+    """ROC AUC per user.
 
-    ranks = model.predict_rank(
-        test_interactions,
-        train_interactions=train_interactions,
-        user_features=user_features,
-        item_features=item_features,
-        num_threads=num_threads,
-        check_intersections=check_intersections,
-    )
-
+    Parity: `lightfm/evaluation.py:169-254`.
+    """
+    ranks = _ranks_for(model, test_interactions, num_threads, locals())
     assert np.all(ranks.data >= 0)
 
-    if train_interactions is not None:
-        num_train_positives = np.squeeze(
-            np.array(train_interactions.getnnz(axis=1)).astype(np.int32)
-        )
-    else:
-        num_train_positives = np.zeros(test_interactions.shape[0], dtype=np.int32)
-
-    auc = _auc_from_ranks(ranks.tocsr(), num_train_positives)
-
-    if not preserve_rows:
-        auc = auc[test_interactions.getnnz(axis=1) > 0]
-
-    return auc
+    n_train_pos = (
+        np.asarray(train_interactions.getnnz(axis=1), dtype=np.int32).ravel()
+        if train_interactions is not None
+        else np.zeros(test_interactions.shape[0], dtype=np.int32)
+    )
+    auc = _auc_from_ranks(ranks.tocsr(), n_train_pos)
+    return _drop_empty_rows(auc, test_interactions, preserve_rows)
 
 
 def reciprocal_rank(
@@ -177,22 +168,11 @@ def reciprocal_rank(
     num_threads=1,
     check_intersections=True,
 ):
-    """1 / rank of the best-ranked test positive (`lightfm/evaluation.py:257-327`)."""
-    _check_threads(num_threads)
+    """1 / rank of the best-ranked test positive.
 
-    ranks = model.predict_rank(
-        test_interactions,
-        train_interactions=train_interactions,
-        user_features=user_features,
-        item_features=item_features,
-        num_threads=num_threads,
-        check_intersections=check_intersections,
-    )
-
+    Parity: `lightfm/evaluation.py:257-327`.
+    """
+    ranks = _ranks_for(model, test_interactions, num_threads, locals())
     ranks.data = 1.0 / (ranks.data + 1.0)
-    ranks = np.squeeze(np.array(ranks.max(axis=1).todense()))
-
-    if not preserve_rows:
-        ranks = ranks[test_interactions.getnnz(axis=1) > 0]
-
-    return ranks
+    best = np.asarray(ranks.max(axis=1).todense()).ravel()
+    return _drop_empty_rows(best, test_interactions, preserve_rows)
