@@ -21,6 +21,14 @@ import numpy as np
 
 import jax
 
+# Honour a JAX_PLATFORMS=cpu request even when a site hook already
+# initialised another platform at interpreter startup (axon-style envs).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from lightfm_tpu import LightFM
 from lightfm_tpu.datasets import generate_synthetic
 from lightfm_tpu.evaluation import auc_score

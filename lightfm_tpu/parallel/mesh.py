@@ -94,10 +94,33 @@ def shard_state(state: ModelState, mesh: Mesh, table_partition: str = "rows") ->
                 "no_components or use 'rows'."
             )
 
+    n_model_axis = mesh.shape[MODEL_AXIS]
+    warned: set = set()
+
     def place(x):
         if x.ndim == 0:
             return jax.device_put(x, NamedSharding(mesh, P()))
-        return jax.device_put(x, NamedSharding(mesh, _table_spec(mesh, table_partition, x.ndim)))
+        spec = _table_spec(mesh, table_partition, x.ndim)
+        if (
+            table_partition == "rows"
+            and x.shape[0] % n_model_axis != 0
+        ):
+            # jax rejects device_put of globally-uneven shards; replicate
+            # this table (mixed layouts are fine under GSPMD) rather than
+            # failing the fit.  Production-sized tables are typically
+            # padded/divisible; tiny ones lose nothing by replication.
+            if x.shape[0] not in warned:
+                warned.add(x.shape[0])
+                import warnings
+
+                warnings.warn(
+                    f"table with {x.shape[0]} rows is not divisible by the "
+                    f"model axis ({n_model_axis}); replicating it instead "
+                    "of row-sharding",
+                    stacklevel=3,
+                )
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     # Scales are scalars; embeddings/biases/accumulators share their table's
     # layout so optimizer updates stay local to the owning shard.

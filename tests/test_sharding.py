@@ -187,3 +187,28 @@ def test_build_local_train_data_single_process():
     init = np.asarray(init_state(10, train.shape[1], train.shape[0],
                                  np.random.RandomState(10), adagrad=True).item_table)
     assert np.abs(table - init).max() > 1e-3
+
+
+@requires_8_devices
+def test_row_sharding_with_indivisible_tables():
+    # 943 users is not divisible by model=2: the user table must fall back
+    # to replication (with a warning) while the divisible item table stays
+    # row-sharded, and the fit must still train.
+    import warnings
+
+    data = generate_synthetic(n_users=943, n_items=256, seed=6)
+    train = data["train"].astype(np.float32)
+    train.data = np.where(train.data >= 4, 1.0, -1.0).astype(np.float32)
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = LightFM(
+        loss="warp", no_components=10, random_state=10,
+        mesh=mesh, table_partition="rows",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        model.fit(train, epochs=3)
+    assert any("not divisible" in str(x.message) for x in w)
+    pos = train.tocsr().copy()
+    pos.data[pos.data < 0] = 0.0
+    pos.eliminate_zeros()
+    assert auc_score(model, pos).mean() > 0.75
