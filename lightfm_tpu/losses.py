@@ -41,7 +41,6 @@ from lightfm_tpu.ops.updates import sparse_update
 from lightfm_tpu.sparse import (
     ChunkedRows,
     IdentityRows,
-    PaddedRows,
     PaddedSortedRows,
     in_positives,
     in_positives_slots,

@@ -19,10 +19,9 @@ import jax.numpy as jnp
 from lightfm_tpu.config import Hyperparams
 from lightfm_tpu.ops.representation import batch_representation, score_pairs
 from lightfm_tpu.ops.ranking import predict_ranks_padded
-from lightfm_tpu.sparse import identity_rows, pad_csr, pad_csr_sorted
+from lightfm_tpu.sparse import identity_rows, pad_csr
 from lightfm_tpu.state import ModelState, init_state
 from lightfm_tpu.train import (
-    TrainData,
     build_train_data,
     choose_batch_size,
     run_epoch,

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from lightfm_tpu.ops.representation import batch_representation, full_representations
-from lightfm_tpu.sparse import IdentityRows, PaddedRows, trim_rows
+from lightfm_tpu.sparse import IdentityRows, trim_rows
 from lightfm_tpu.state import ModelState
 
 # Plain numpy scalar: a jnp constant here would initialise the XLA backend

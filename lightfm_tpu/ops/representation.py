@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lightfm_tpu.sparse import ChunkedRows, IdentityRows, PaddedRows
+from lightfm_tpu.sparse import ChunkedRows, IdentityRows
 
 
 def batch_representation(
