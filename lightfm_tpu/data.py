@@ -83,15 +83,16 @@ def _mapping_keys_i64(mapping):
         return None
 
 
-def _translate(mapping, ids, missing_msg: str) -> np.ndarray:
+def _translate(keys: np.ndarray, ids, missing_msg: str) -> np.ndarray:
     """Vectorised external-id → internal-index lookup via the native engine.
 
-    Raises ValueError (formatted with the first offending id) on misses.
+    ``keys`` is the mapping's key array (first-seen order) from
+    :func:`_mapping_keys_i64` — passed in so hot ingestion paths extract it
+    once.  Raises ValueError (formatted with the first offending id) on
+    misses.
     """
     from lightfm_tpu import native
 
-    keys = _mapping_keys_i64(mapping)
-    assert keys is not None and native.AVAILABLE  # caller pre-checked
     idx = native.lookup_ids(keys, np.asarray(ids, dtype=np.int64))
     misses = idx < 0
     if misses.any():
@@ -175,11 +176,9 @@ class _FeatureBuilder:
         """Vectorised build from numpy id arrays via the native engine."""
         from lightfm_tpu import native
 
-        if (
-            not native.AVAILABLE
-            or _mapping_keys_i64(self._id_mapping) is None
-            or _mapping_keys_i64(self._feature_mapping) is None
-        ):
+        ekeys = _mapping_keys_i64(self._id_mapping)
+        fkeys = _mapping_keys_i64(self._feature_mapping)
+        if not native.AVAILABLE or ekeys is None or fkeys is None:
             # Mapping keys are not ints (or no compiler): reroute through
             # the generic iterable path.
             if weights is None:
@@ -189,12 +188,12 @@ class _FeatureBuilder:
             )
 
         rows = _translate(
-            self._id_mapping,
+            ekeys,
             entity_ids,
             "%s id {} not in %s id mappings." % (self._entity_type, self._entity_type),
         )
         cols = _translate(
-            self._feature_mapping,
+            fkeys,
             feature_ids,
             "Feature {} not in feature mapping. Call fit first.",
         )
@@ -301,6 +300,18 @@ class Dataset:
 
     def fit_partial(self, users=None, items=None, user_features=None, item_features=None):
         """Add new entries to the existing mappings."""
+        # Identity features read the SAME input twice; one-shot iterables
+        # (generators) must be materialised or the second pass sees nothing.
+        def reiterable(x):
+            if x is None or isinstance(x, (np.ndarray, list, tuple, range)):
+                return x
+            return list(x)
+
+        if self._user_identity_features:
+            users = reiterable(users)
+        if self._item_identity_features:
+            items = reiterable(items)
+
         self._extend(self._user_id_mapping, users)
         if self._user_identity_features:
             self._extend(self._user_feature_mapping, users)
@@ -320,11 +331,9 @@ class Dataset:
         """Native vectorized variant of build_interactions for numpy arrays."""
         from lightfm_tpu import native
 
-        if (
-            not native.AVAILABLE
-            or _mapping_keys_i64(self._user_id_mapping) is None
-            or _mapping_keys_i64(self._item_id_mapping) is None
-        ):
+        ukeys = _mapping_keys_i64(self._user_id_mapping)
+        ikeys = _mapping_keys_i64(self._item_id_mapping)
+        if not native.AVAILABLE or ukeys is None or ikeys is None:
             it = (
                 zip(user_ids, item_ids)
                 if weights is None
@@ -333,12 +342,12 @@ class Dataset:
             return self.build_interactions(it)
 
         uidx = _translate(
-            self._user_id_mapping,
+            ukeys,
             user_ids,
             "User id {} not in user id mapping. Make sure you call the fit method.",
         )
         iidx = _translate(
-            self._item_id_mapping,
+            ikeys,
             item_ids,
             "Item id {} not in item id mapping. Make sure you call the fit method.",
         )

@@ -18,17 +18,25 @@ import numpy as np
 __all__ = ["precision_at_k", "recall_at_k", "auc_score", "reciprocal_rank"]
 
 
-def _ranks_for(model, test_interactions, num_threads, kwargs):
+def _ranks_for(
+    model,
+    test_interactions,
+    train_interactions,
+    user_features,
+    item_features,
+    num_threads,
+    check_intersections,
+):
     """Shared front half of every metric: validate, rank the test set."""
     if num_threads < 1:
         raise ValueError("Number of threads must be 1 or larger.")
     return model.predict_rank(
         test_interactions,
-        train_interactions=kwargs.get("train_interactions"),
-        user_features=kwargs.get("user_features"),
-        item_features=kwargs.get("item_features"),
+        train_interactions=train_interactions,
+        user_features=user_features,
+        item_features=item_features,
         num_threads=num_threads,
-        check_intersections=kwargs.get("check_intersections", True),
+        check_intersections=check_intersections,
     )
 
 
@@ -64,7 +72,10 @@ def precision_at_k(
 
     Parity: `lightfm/evaluation.py:14-87`.
     """
-    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    ranks = _ranks_for(
+        model, test_interactions, train_interactions, user_features,
+        item_features, num_threads, check_intersections,
+    )
     return _drop_empty_rows(
         _hits_below_k(ranks, k) / k, test_interactions, preserve_rows
     )
@@ -85,7 +96,10 @@ def recall_at_k(
 
     Parity: `lightfm/evaluation.py:90-166`.
     """
-    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    ranks = _ranks_for(
+        model, test_interactions, train_interactions, user_features,
+        item_features, num_threads, check_intersections,
+    )
     hits = _hits_below_k(ranks, k)
     n_pos = test_interactions.getnnz(axis=1)
     hits = _drop_empty_rows(hits, test_interactions, preserve_rows)
@@ -146,7 +160,10 @@ def auc_score(
 
     Parity: `lightfm/evaluation.py:169-254`.
     """
-    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    ranks = _ranks_for(
+        model, test_interactions, train_interactions, user_features,
+        item_features, num_threads, check_intersections,
+    )
     assert np.all(ranks.data >= 0)
 
     n_train_pos = (
@@ -172,7 +189,10 @@ def reciprocal_rank(
 
     Parity: `lightfm/evaluation.py:257-327`.
     """
-    ranks = _ranks_for(model, test_interactions, num_threads, locals())
+    ranks = _ranks_for(
+        model, test_interactions, train_interactions, user_features,
+        item_features, num_threads, check_intersections,
+    )
     ranks.data = 1.0 / (ranks.data + 1.0)
     best = np.asarray(ranks.max(axis=1).todense()).ravel()
     return _drop_empty_rows(best, test_interactions, preserve_rows)

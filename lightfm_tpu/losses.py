@@ -154,6 +154,9 @@ def _run_updates(state, hp, item_feats, item_touches, user_feats, user_touches, 
         rho=hp.rho,
         eps=hp.epsilon,
         emb_dim=hp.no_components,
+        # Scale bookkeeping averages lr over BOTH tables' touches, so the
+        # zero-stats fast path is only allowed when neither alpha is set.
+        need_stats=hp.item_alpha != 0.0 or hp.user_alpha != 0.0,
     )
     flat = [t[0] for t in item_touches]
     if len(flat) == 1:

@@ -133,6 +133,12 @@ class LightFM:
         # exchange over DCN); requires mesh + shard_examples.
         if example_shuffle not in ("global", "local"):
             raise ValueError("example_shuffle must be 'global' or 'local'")
+        if example_shuffle == "local" and mesh is None:
+            raise ValueError(
+                "example_shuffle='local' shuffles within data-axis shards "
+                "and requires a mesh; without one it would silently behave "
+                "like 'global'"
+            )
         self.example_shuffle = example_shuffle
 
         if random_state is None:
@@ -177,21 +183,25 @@ class LightFM:
 
         The reference retries up to ``no_examples`` times when a draw lands
         on a true positive (template:1122-1126) — effectively always finding
-        a negative.  Our batched draw uses a fixed number of tries T; for a
-        user whose positives cover fraction p of the empirical interaction
-        mass, the fall-through probability is p^T.  Size T so the HEAVIEST
-        user falls through < 1e-3 of the time, snapped to powers of two
-        (stable jit cache keys), clamped to [8, 64].
+        a negative.  Our batched draw uses a fixed number of tries T; a draw
+        hits user u's positives with probability p_u = (empirical mass of
+        u's positive ITEMS) / nnz — a user whose few positives are the
+        globally most popular items can have large p_u despite a small
+        degree.  Size T so the worst user falls through < 1e-3 of the time,
+        snapped to powers of two (stable jit cache keys), clamped [8, 64].
         """
         import scipy.sparse as sp
 
         nnz = interactions.nnz
         if nnz == 0:
             return 8
-        max_user = int(
-            np.max(sp.csr_matrix(interactions).getnnz(axis=1), initial=1)
-        )
-        p = min(max_user / nnz, 0.99)
+        csr = sp.csr_matrix(interactions)
+        item_counts = np.asarray(csr.getnnz(axis=0), dtype=np.float64).ravel()
+        # Per-user sum of their positive items' global counts (one spmv).
+        indicator = csr.copy()
+        indicator.data = np.ones_like(indicator.data)
+        user_mass = indicator.dot(item_counts)
+        p = min(float(user_mass.max(initial=0.0)) / nnz, 0.99)
         if p <= 0:
             return 8
         need = int(np.ceil(np.log(1e-3) / np.log(p))) if p > 1e-3 else 1

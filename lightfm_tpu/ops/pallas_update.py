@@ -155,14 +155,16 @@ def adagrad_update_pallas(
     n_chunks = m_pad // CHUNK
 
     # --- worklist construction (all shapes static) ---------------------
-    # Chunk c's touches span table blocks [f_c, l_c] (contiguous: sorted).
-    first_t = sidx[:: CHUNK]  # [n_chunks]
-    last_t = sidx[CHUNK - 1 :: CHUNK]
-    f = jnp.minimum(first_t // BLOCK_R, n_blocks)  # sentinel -> n_blocks
-    l = jnp.minimum(last_t // BLOCK_R, n_blocks)
-    # Number of REAL blocks [f, min(l, n_blocks-1)] when the chunk has any
-    # real touches (sentinel-only chunks contribute no work).
-    span = jnp.where(f < n_blocks, jnp.minimum(l, n_blocks - 1) - f + 1, 0)
+    # Chunk c's REAL touches span table blocks [f_c, l_c] (contiguous:
+    # sorted).  Sentinels are excluded from the span — a mixed last chunk
+    # must not drag its span to the end of the table (that would visit and
+    # rewrite every trailing block as a no-op).
+    by_chunk = sidx.reshape(n_chunks, CHUNK)
+    real = by_chunk < R
+    f = jnp.min(jnp.where(real, by_chunk, _SENTINEL), axis=1) // BLOCK_R
+    l = jnp.max(jnp.where(real, by_chunk, -1), axis=1) // BLOCK_R
+    has_real = real.any(axis=1)
+    span = jnp.where(has_real, l - f + 1, 0)
     L = n_chunks + n_blocks  # static upper bound on total intersections
     pos = jnp.cumsum(span) - span  # start slot of chunk c's run
     total = jnp.sum(span)
@@ -187,6 +189,12 @@ def adagrad_update_pallas(
     next_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     first_visit = valid & (b_of != prev_b)
     last_visit = valid & ((b_of != next_b) | (~next_valid))
+    # total == 0 (all touches masked/sentinel): slot 0 must still init and
+    # flush block 0 as an exact no-op, or the aliased output block would be
+    # flushed without ever being written (garbage through the alias).
+    empty = total == 0
+    first_visit = first_visit.at[0].set(first_visit[0] | empty)
+    last_visit = last_visit.at[0].set(last_visit[0] | empty)
     flags = jnp.stack(
         [first_visit.astype(jnp.int32), last_visit.astype(jnp.int32)], axis=1
     )

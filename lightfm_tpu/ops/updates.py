@@ -55,6 +55,7 @@ def sparse_update(
     rho: float,
     eps: float,
     emb_dim: int | None = None,
+    need_stats: bool = True,
 ):
     """Apply one batched sparse optimizer step to ``table``.
 
@@ -80,10 +81,15 @@ def sparse_update(
     # identical to the scatter formulation (adagrad's lr reads the
     # pre-batch accumulator, which is row-constant, so per-row sums
     # commute); f32 summation order differs only.
+    # The fast path returns zero sum_lr/n_touches, which is only sound when
+    # NO table in the step needs the lazy-L2 scale bookkeeping (the bump
+    # averages local lr over ALL of the step's touches, both tables) —
+    # callers signal that via need_stats.
     R = table.shape[0]
     if (
         not adadelta
         and alpha == 0.0
+        and not need_stats
         and R * W <= (1 << 19)
         and idx.shape[0] * R <= (32 << 20)
     ):
@@ -106,6 +112,7 @@ def sparse_update(
         os.environ.get("LIGHTFM_TPU_PALLAS_UPDATE") == "1"
         and not adadelta
         and alpha == 0.0
+        and not need_stats
         and not squeeze
         and jax.default_backend() == "tpu"
     ):

@@ -116,3 +116,15 @@ def test_end_to_end_with_model():
     model = LightFM(random_state=1)
     model.fit(interactions, item_features=item_features, sample_weight=weights, epochs=2)
     assert model.item_embeddings.shape[0] == ds.model_dimensions()[1]
+
+
+def test_fit_accepts_generators():
+    # One-shot iterables must populate BOTH the id mapping and the identity
+    # feature mapping (regression: a two-pass refactor left feature
+    # mappings empty for generators).
+    ds = Dataset()
+    ds.fit((u for u in ["a", "b"]), (i for i in ["x", "y", "z"]))
+    assert ds.interactions_shape() == (2, 3)
+    assert ds.user_features_shape() == (2, 2)
+    assert ds.item_features_shape() == (3, 3)
+    assert ds.model_dimensions() == (2, 3)

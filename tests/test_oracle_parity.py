@@ -139,13 +139,23 @@ def test_skewed_degrees_match_sequential_oracle(loss):
 def test_bpr_tries_scale_with_degree_skew():
     from lightfm_tpu.model import LightFM as M
 
-    train = _zipf_dataset()
-    # heaviest user holds ~45% of interactions in this construction
-    heaviest = train.getnnz(axis=1).max()
-    p = heaviest / train.nnz
-    tries = M._bpr_tries_for(train)
-    assert tries >= 8
-    assert p**tries < 1e-3
-    # benign data keeps the default
-    benign = generate_synthetic(n_users=100, n_items=80, seed=1)["train"]
-    assert M._bpr_tries_for(benign) == 8
+    def worst_p(csr):
+        # Probability an empirical draw hits the worst user's positives:
+        # the mass of their positive ITEMS over all interactions.
+        csr = sp.csr_matrix(csr)
+        counts = np.asarray(csr.getnnz(axis=0), dtype=np.float64).ravel()
+        ind = csr.copy()
+        ind.data = np.ones_like(ind.data)
+        return float(ind.dot(counts).max()) / csr.nnz
+
+    for data in (
+        _zipf_dataset(),
+        generate_synthetic(n_users=100, n_items=80, seed=1)["train"],
+        generate_synthetic(seed=1)["train"],  # ML-100k shape
+    ):
+        tries = M._bpr_tries_for(data)
+        p = min(worst_p(data), 0.99)
+        assert 8 <= tries <= 64
+        # The sized budget must push fall-through under 1e-3 (unless
+        # already at the 64-try cap).
+        assert p**tries < 1e-3 or tries == 64

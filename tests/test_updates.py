@@ -154,3 +154,31 @@ def test_bias_vector_path():
     assert t2.shape == (4,)
     assert np.allclose(float(t2[2]), -0.1, atol=1e-6)
     assert np.allclose(float(a2[2]), 2.0, atol=1e-6)
+
+
+def test_small_table_keeps_lr_stats_when_lazy_reg_active():
+    # Mixed-alpha configs need sum_lr/n_touches from EVERY table (the
+    # lazy-L2 bump averages over the whole step); the zero-stats dense
+    # fast path must stand aside when need_stats=True even on tiny tables.
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    R, W, M = 64, 8, 32
+    table = jnp.asarray(rng.randn(R, W).astype(np.float32))
+    acc = jnp.ones((R, W), jnp.float32)
+    mom = jnp.zeros((R, W), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, R, M).astype(np.int32))
+    w = jnp.ones((M,), jnp.float32)
+    g = jnp.asarray(rng.randn(M, W).astype(np.float32))
+    mask = jnp.ones((M,), bool)
+
+    kw = dict(adadelta=False, learning_rate=0.05, alpha=0.0, rho=0.95, eps=1e-6)
+    _, _, _, lr_stats, cnt_stats = sparse_update(
+        table, acc, mom, idx, w, g, mask, need_stats=True, **kw
+    )
+    assert float(lr_stats) > 0.0 and float(cnt_stats) > 0.0
+    # With no lazy reg anywhere the fast path may return zero stats.
+    _, _, _, lr_fast, cnt_fast = sparse_update(
+        table, acc, mom, idx, w, g, mask, need_stats=False, **kw
+    )
+    assert float(lr_fast) == 0.0 and float(cnt_fast) == 0.0
