@@ -156,9 +156,11 @@ def _bench_large_scale(detail):
             "steady_epoch_examples_per_sec": round(coo.nnz * 5 / steady_wall, 1),
             "fit_wall_s": round(first_wall, 3),
             "steady_5epoch_wall_s": round(steady_wall, 3),
+            # Every loss carries the guard so no throughput number can be
+            # gamed by broken training.
+            "auc_train_sample": round(_auc_sample(model, train_csr), 4),
         }
         if loss == "warp":
-            entry["auc_train_sample"] = round(_auc_sample(model, train_csr), 4)
             entry["vs_cpu32_linear_estimate"] = round(
                 entry["steady_epoch_examples_per_sec"] / _REF_CPU32_D64_ESTIMATE, 2
             )

@@ -101,8 +101,19 @@ def _update_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0) + t * TILE_R
         )
         oh = (rows == local[None, :]).astype(jnp.float32)
-        d1 = jnp.dot(oh, wg, preferred_element_type=jnp.float32)
-        d2 = jnp.dot(oh, wg * wg, preferred_element_type=jnp.float32)
+        # HIGHEST keeps the MXU in full-f32 passes so the docstring's
+        # "matches ops.updates up to f32 summation order" claim holds on
+        # real hardware (default precision may take bf16 passes).
+        d1 = jnp.dot(
+            oh, wg,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.dot(
+            oh, wg * wg,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         off = pl.ds(t * TILE_R, TILE_R)
         sum_wg[off, :] += d1
         sum_wg2[off, :] += d2

@@ -16,11 +16,13 @@ TPU-native scale-out of its single `_run_epoch` input path
 
 Negative-sampling support structures (the per-user positives table used
 for WARP/BPR rejection, and BPR's empirical item distribution) describe
-the GLOBAL training set.  Callers that can cheaply provide them globally
-should pass ``global_positives`` / ``global_train_items``; otherwise they
-are built from the local slice — rejection then misses positives held by
-other hosts, the same class of statistical noise the reference's Hogwild
-racing tolerates (and vanishing as per-host slices grow).
+the GLOBAL training set.  With more than one process they MUST be passed
+in (``global_positives`` / ``global_train_items``): these arrays are
+replicated into a jointly-compiled SPMD program, and building them from
+per-process slices would give each process differently-shaped (and
+differently-valued) "replicated" operands — mismatched executables that
+can hang or crash the run.  Single-process callers may omit them, where
+the local slice IS the global set.
 """
 
 from __future__ import annotations
@@ -116,6 +118,19 @@ def build_local_train_data(
     positives = None
     train_items = None
     if hp.loss in ("warp", "bpr", "warp-kos"):
+        # Replicated-operand shape safety: the positives table's padded width
+        # derives from the max user degree of its SOURCE.  Built from local
+        # slices, each process would produce a differently-shaped "replicated"
+        # array feeding one jointly-compiled SPMD program — a hang/crash, not
+        # just statistical noise.  Same for BPR's train_items length below.
+        if global_positives is None and jax.process_count() > 1:
+            raise ValueError(
+                f"loss='{hp.loss}' needs the GLOBAL per-user positives for "
+                "negative-sample rejection; with multiple processes pass "
+                "global_positives (a [n_users, n_items] CSR of all training "
+                "interactions) — per-process slices would give each process "
+                "a differently-shaped replicated array"
+            )
         src = global_positives if global_positives is not None else coo
         csr = sp.csr_matrix(src)
         if not csr.has_sorted_indices:
@@ -123,6 +138,13 @@ def build_local_train_data(
         max_width = None if hp.loss == "warp-kos" else 512
         positives = pad_csr_sorted(csr, pad_multiple=8, max_width=max_width)
     if hp.loss == "bpr":
+        if global_train_items is None and jax.process_count() > 1:
+            raise ValueError(
+                "loss='bpr' needs the GLOBAL training item column (its "
+                "empirical negative distribution); with multiple processes "
+                "pass global_train_items — per-process slices would give "
+                "each process a differently-shaped replicated array"
+            )
         items = (
             np.asarray(global_train_items, dtype=np.int32)
             if global_train_items is not None

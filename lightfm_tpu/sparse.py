@@ -176,7 +176,16 @@ def pad_csr(
     max_nnz = int(lengths.max()) if len(lengths) else 0
     width = _round_up(max(max_nnz, min_width, 1), pad_multiple)
 
-    if width_cap is None or max_nnz <= width_cap:
+    # Tier split must compare against the ROUNDED cap C (not raw width_cap):
+    # rows with width_cap < nnz <= C still fit the dense tier, and entering
+    # the chunked branch with zero over-cap rows would crash on the empty
+    # over_len reduction.
+    C = (
+        _round_up(max(width_cap, min_width, 1), pad_multiple)
+        if width_cap is not None
+        else None
+    )
+    if width_cap is None or max_nnz <= C:
         idx = np.zeros((n_rows, width), dtype=np.int32)
         wts = np.zeros((n_rows, width), dtype=np.float32)
         _ragged_fill(
@@ -185,7 +194,6 @@ def pad_csr(
         )
         return PaddedRows(jnp.asarray(idx), jnp.asarray(wts), n_cols)
 
-    C = _round_up(max(width_cap, min_width, 1), pad_multiple)
     base_idx = np.zeros((n_rows, C), dtype=np.int32)
     base_wts = np.zeros((n_rows, C), dtype=np.float32)
     _ragged_fill(
