@@ -145,16 +145,37 @@ def adagrad_update_pallas(
     adagrad branch (pre-batch accumulator lr; duplicate touches summed) up
     to f32 summation order.
     """
+    order = jnp.argsort(idx)
+    return sorted_adagrad_update_pallas(
+        table, acc, idx[order], wg[order],
+        learning_rate=learning_rate, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("learning_rate", "interpret"))
+def sorted_adagrad_update_pallas(
+    table: jax.Array,  # f32 [R, W]
+    acc: jax.Array,  # f32 [R, W]
+    sidx: jax.Array,  # int32 [M] NON-DECREASING touch rows (masked: wg 0)
+    swg: jax.Array,  # f32 [M, W] per-touch gradients in sidx order
+    *,
+    learning_rate: float,
+    interpret: bool = False,
+):
+    """Sorted-touch entry: skips the sort for callers whose touches arrive
+    pre-sorted (e.g. item-sorted batches, where gradient rows are computed
+    directly in sorted order and no per-step reorder exists at all).
+
+    Touches with zero gradient are exact no-ops wherever they sort (they
+    only widen a block's visited span); rows >= R are clamped to the
+    sentinel and excluded from block spans.
+    """
     R, W = table.shape
-    M = idx.shape[0]
+    M = sidx.shape[0]
     # Ragged last block: Pallas pads out-of-bounds block reads and masks
     # out-of-bounds writes, and no real touch lands beyond R, so the tail
     # rows of the final block are never meaningfully read or written.
     n_blocks = -(-R // BLOCK_R)
-
-    order = jnp.argsort(idx)
-    sidx = idx[order]
-    swg = wg[order]
 
     m_pad = -(-M // CHUNK) * CHUNK
     if m_pad != M:
