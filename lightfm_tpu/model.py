@@ -10,6 +10,8 @@ but ignored: parallelism comes from the XLA device (mesh) instead of OpenMP.
 
 from __future__ import annotations
 
+import weakref
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -318,6 +320,51 @@ class LightFM:
                 return pad_csr(csr, pad_multiple=8, width_cap=cap)
         return pad_csr(csr, pad_multiple=8)
 
+    def _memo_by_identity(self, kind: str, obj, build):
+        """Memoize ``build(obj)`` in the serving cache keyed by ``obj``'s
+        identity (weakref-guarded against id reuse).
+
+        The standard per-epoch evaluation loop passes the SAME test/train
+        matrices and feature matrices to every metric call; memoizing on
+        identity lets repeated ``predict_rank``/``predict`` calls skip all
+        host-side padding and host->device staging (round-2 verdict #6).
+        The cache is cleared by ``fit`` so stale state cannot leak.
+        """
+        key = (kind, id(obj))
+        hit = self._serving_cache.get(key)
+        if hit is not None:
+            ref, val = hit
+            if ref() is obj:
+                return val
+        val = build(obj)
+        try:
+            self._serving_cache[key] = (weakref.ref(obj), val)
+        except TypeError:  # non-weakref-able input; skip caching
+            return val
+        if len(self._serving_cache) > 256:  # prune dead-identity entries
+            for k, v in list(self._serving_cache.items()):
+                if (
+                    isinstance(v, tuple)
+                    and v
+                    and isinstance(v[0], weakref.ref)
+                    and v[0]() is None
+                ):
+                    del self._serving_cache[k]
+        return val
+
+    def _pad_features_cached(self, csr):
+        if self._is_identity(csr):
+            # Identity matrices are rebuilt each call by
+            # _construct_feature_matrices, so identity-keying would bloat
+            # the cache with dead weakrefs; key by shape instead.
+            key = ("pad_feats_id", csr.shape[0])
+            hit = self._serving_cache.get(key)
+            if hit is None:
+                hit = identity_rows(csr.shape[0])
+                self._serving_cache[key] = hit
+            return hit
+        return self._memo_by_identity("pad_feats", csr, self._pad_features)
+
     def _process_sample_weight(self, interactions, sample_weight):
         if sample_weight is not None:
             if self.loss == "warp-kos":
@@ -569,8 +616,8 @@ class LightFM:
 
         scores = _predict_pairs_jit(
             self._state,
-            self._pad_features(user_features),
-            self._pad_features(item_features),
+            self._pad_features_cached(user_features),
+            self._pad_features_cached(item_features),
             jnp.asarray(user_ids),
             jnp.asarray(item_ids),
         )
@@ -622,21 +669,31 @@ class LightFM:
         if not user_features.shape[1] == self._state.user_table.shape[0]:
             raise ValueError("Incorrect number of features in user_features")
 
-        test_interactions = test_interactions.tocsr()
-        if test_interactions.dtype != CYTHON_DTYPE:
-            test_interactions = test_interactions.astype(CYTHON_DTYPE)
-
+        # Identity-keyed memoization keeps the converted CSRs stable across
+        # the per-epoch metric loop, so the downstream tier prep (also
+        # identity-keyed, in ops.ranking) hits its cache too.
+        test_interactions = self._memo_by_identity(
+            "test_csr",
+            test_interactions,
+            lambda m: m.tocsr().astype(CYTHON_DTYPE, copy=False),
+        )
         if train_interactions is None:
-            train_interactions = sp.csr_matrix((n_users, n_items), dtype=CYTHON_DTYPE)
+            train_interactions = self._serving_cache.setdefault(
+                ("empty_train", n_users, n_items),
+                sp.csr_matrix((n_users, n_items), dtype=CYTHON_DTYPE),
+            )
         else:
-            train_interactions = train_interactions.tocsr()
+            train_interactions = self._memo_by_identity(
+                "train_csr", train_interactions, lambda m: m.tocsr()
+            )
 
         ranks_data = predict_ranks_padded(
             self._state,
-            self._pad_features(user_features),
-            self._pad_features(item_features),
+            self._pad_features_cached(user_features),
+            self._pad_features_cached(item_features),
             test_interactions,
             train_interactions,
+            cache=self._serving_cache,
         )
 
         return sp.csr_matrix(
@@ -699,8 +756,8 @@ class LightFM:
         (user_features, item_features) = self._construct_feature_matrices(
             n_users, n_items, user_features, item_features
         )
-        user_feats = self._pad_features(user_features)
-        item_feats = self._pad_features(item_features)
+        user_feats = self._pad_features_cached(user_features)
+        item_feats = self._pad_features_cached(item_features)
 
         exclude_idx = None
         if train_interactions is not None:
