@@ -142,12 +142,13 @@ def _bench_large_scale(detail):
 
         data = model._staged_train_data
         hp, bs = model._staged_hp, model._staged_batch_size
+        fast = model._staged_fast
         seeds = jnp.arange(5, dtype=jnp.uint32)
         state = model._state
-        state = run_epochs(state, data, seeds, hp, bs)  # warm
+        state = run_epochs(state, data, seeds, hp, bs, fast=fast)  # warm
         _ = float(jnp.sum(state.item_table))
         t0 = time.perf_counter()
-        state = run_epochs(state, data, seeds, hp, bs)
+        state = run_epochs(state, data, seeds, hp, bs, fast=fast)
         _ = float(jnp.sum(state.item_table))
         steady_wall = time.perf_counter() - t0
 

@@ -1,0 +1,318 @@
+"""Specialised WARP training path: pool negatives + item-sorted batches +
+sorted Pallas table updates.
+
+The generic batched WARP step (`losses.warp_step`) is bound by two
+fine-grained random-HBM-access patterns on TPU (measured on v5e,
+doc/roadmap.md):
+
+1. the ``(K+1) * B`` per-example candidate row gather in the forward pass
+   (~100M random rows/s), and
+2. the duplicate-index scatter-adds of the table updates, which XLA:TPU
+   lowers to serialized row writes (~half of a large epoch).
+
+This module removes both for the common production configuration
+(identity features, adagrad, no L2) while keeping the reference WARP
+semantics (`_lightfm_fast.pyx.template:784-912`) statistically intact:
+
+- **Pool negatives**: each step draws ONE pool of ``P`` i.i.d. uniform
+  item ids (one P-row gather) plus ``K`` random rotations; candidate ``k``
+  of example ``b`` is pool slot ``(b + shift_k) mod P``.  Marginally every
+  example still scans K i.i.d. uniform candidates in draw order, so the
+  first-violator selection and the rank estimator
+  ``log(floor((n_items-1)/draws))`` (template:855-885) are unchanged; the
+  only delta is that a pool item serves several examples within one step —
+  a far weaker coupling than the reference's Hogwild racing on shared
+  tables, and validated by the same statistical bar
+  (tests/test_fast_warp.py, tests/test_oracle_parity.py).
+- **Item-sorted batches**: updates within a synchronous batch commute, so
+  each batch's examples are pre-sorted by positive item id during the
+  epoch shuffle (one extra multi-payload device sort per epoch).  The
+  positive-pair updates then feed the sorted Pallas one-hot-matmul kernel
+  (`ops.pallas_update.sorted_adagrad_update_pallas`) with NO per-step
+  reorder: scatter serialization is replaced by MXU block contractions.
+- **Pool-space negative updates**: violator gradients accumulate into the
+  ``[P, W]`` pool block (K rotations fold them back to pool slots), so the
+  negative-side scatter touches P rows instead of B.
+- **User updates**: the epoch shuffle also emits each batch's user-sorted
+  id list and the permutation into it, so the user table can take the same
+  sorted-kernel path (gradients permuted once, then block-dense update).
+
+Eligibility is static (hyperparameters + pytree types + backend); anything
+else — adadelta, lazy L2, explicit feature matrices, meshes, k-OS — stays
+on the generic `losses.warp_step` path, which remains the reference
+implementation of record for WARP semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from lightfm_tpu.config import MAX_LOSS, Hyperparams
+from lightfm_tpu.losses import Batch
+from lightfm_tpu.ops.representation import score_pairs, with_unit_bias
+from lightfm_tpu.sparse import IdentityRows, in_positives_slots
+from lightfm_tpu.state import ModelState
+
+# Negative-pool size per step.  16384 rows x W floats stays VMEM-friendly
+# while giving each example K fresh candidates; at B <= POOL_SIZE the pool
+# degenerates to per-example candidate sets (no sharing at all).
+POOL_SIZE = 16384
+
+# Below this table footprint (rows * padded width) the dense one-hot MXU
+# update in ops.updates already beats everything and the generic path's
+# small-model dispatch floor dominates; the pool/sort machinery only pays
+# off beyond it.  Also the threshold that keeps the (statistically
+# validated) generic path on small CPU test datasets.
+MIN_TABLE_ELEMS = 1 << 19
+
+_ENABLED = os.environ.get("LIGHTFM_TPU_FAST_WARP", "1") == "1"
+# The user-side sorted-kernel update needs one extra [B, W] permutation
+# gather per step; whether that beats the XLA scatter is size-dependent
+# (see bench).  Default on for TPU; env-overridable for A/B.
+_USER_PALLAS = os.environ.get("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "1") == "1"
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("LIGHTFM_TPU_FAST_WARP_PRECISION", "highest")]
+
+
+def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int) -> bool:
+    """Static gate for the specialised path (trace-time decision)."""
+    if not _ENABLED:
+        return False
+    if hp.loss != "warp" or hp.adadelta:
+        return False
+    if hp.item_alpha != 0.0 or hp.user_alpha != 0.0:
+        return False
+    if mesh is not None or shuffle != "global":
+        return False
+    if not isinstance(data.user_feats, IdentityRows):
+        return False
+    if not isinstance(data.item_feats, IdentityRows):
+        return False
+    if data.positives is None:
+        return False
+    # Pool-fold needs B to be a whole number of pools.
+    if batch_size > POOL_SIZE and batch_size % POOL_SIZE != 0:
+        return False
+    W = 0
+    try:
+        W = data.item_feats.n_rows  # rows of the identity == table rows
+    except Exception:
+        return False
+    from lightfm_tpu.state import table_width
+
+    return W * table_width(hp.no_components) >= MIN_TABLE_ELEMS
+
+
+def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
+    """Per-epoch shuffle emitting item-sorted batches + user-sort metadata.
+
+    Three device sorts over the packed example block (payload = the 5
+    meaningful columns):
+
+    1. random u32 keys -> the epoch permutation (same statistical contract
+       as `train._shuffle_global`);
+    2. (batch, item id) -> each batch's slice sorted by positive item
+       (batch membership fixed by sort 1; within-batch order is free since
+       batched updates commute);
+    3. (batch, user id) carrying the within-batch position -> the batch's
+       user ids in sorted order plus the permutation ``sigma`` mapping
+       user-sorted slots back into item-sorted slots.
+
+    Returns ``(shuffled [n_batches, 5, B], suid [n_batches, B],
+    sigma [n_batches, B])``.
+    """
+    n = packed.shape[1]
+    r = jax.random.bits(kperm, (n,), jnp.uint32)
+    cols = jax.lax.sort([r] + [packed[i] for i in range(5)], num_keys=1)[1:]
+    batch_of = (jnp.arange(n, dtype=jnp.int32) // batch_size).astype(jnp.int32)
+
+    s = jax.lax.sort(
+        [batch_of, cols[1], cols[0], cols[2], cols[3], cols[4]], num_keys=2
+    )
+    item_s, user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4], s[5]
+    shuffled = jnp.stack([user_s, item_s, v_s, w_s, valid_s]).reshape(
+        5, n_batches, batch_size
+    )
+    shuffled = jnp.swapaxes(shuffled, 0, 1)  # [n_batches, 5, B]
+
+    pos_in_batch = (jnp.arange(n, dtype=jnp.int32) % batch_size).astype(jnp.int32)
+    su = jax.lax.sort([batch_of, user_s, pos_in_batch], num_keys=2)
+    suid = su[1].reshape(n_batches, batch_size)
+    sigma = su[2].reshape(n_batches, batch_size)
+    return shuffled, suid, sigma
+
+
+def _unpack_batch5(packed: jax.Array) -> Batch:
+    """[5, B] int32 packed rows -> Batch (float rows bitcast back)."""
+    return Batch(
+        user_ids=packed[0],
+        item_ids=packed[1],
+        y=jax.lax.bitcast_convert_type(packed[2], jnp.float32),
+        weight=jax.lax.bitcast_convert_type(packed[3], jnp.float32),
+        valid=packed[4] > 0,
+    )
+
+
+def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool):
+    """Adagrad update over SORTED touches: Pallas kernel on TPU, the
+    semantically-identical XLA scatter elsewhere (pre-batch accumulator
+    rule either way; zero-gradient touches are exact no-ops)."""
+    if use_pallas:
+        from lightfm_tpu.ops.pallas_update import sorted_adagrad_update_pallas
+
+        return sorted_adagrad_update_pallas(
+            table, acc, sidx, wg, learning_rate=lr, precision=_PRECISION
+        )
+    lrl = lr * jax.lax.rsqrt(acc[sidx])
+    table = table.at[sidx].add(-(lrl * wg))
+    acc = acc.at[sidx].add(wg * wg)
+    return table, acc
+
+
+def warp_pool_step(
+    state: ModelState,
+    batch: Batch,
+    positives,
+    suid: jax.Array,  # int32 [B] batch user ids, sorted ascending
+    sigma: jax.Array,  # int32 [B] position in the item-sorted batch of the
+    #                    b-th user-sorted element
+    hp: Hyperparams,
+    key: jax.Array,
+    *,
+    n_items: int,
+    use_pallas: bool,
+    user_pallas: bool,
+) -> ModelState:
+    """One fast-path WARP step over an ITEM-SORTED batch.
+
+    Semantics per example match `losses.warp_step` (first margin violator
+    among K draws; rank-weighted, clipped loss; template:784-912) with the
+    pool negative source documented in the module docstring.  Update order
+    within the step: positive items (pre-step accumulator), pool negatives
+    (post-positive accumulator), users (pre-step accumulator) — batched
+    updates commute within each group, and the cross-group staleness is the
+    same class the synchronous batching already introduces.
+    """
+    uid, pos_ids = batch.user_ids, batch.item_ids
+    B = uid.shape[0]
+    K = hp.max_sampled
+    P = min(POOL_SIZE, B)
+    Q = B // P
+    W = state.item_table.shape[1]
+    kp, kr = jax.random.split(key)
+
+    u = state.user_table[uid]  # [B, W]
+    prep = state.item_table[pos_ids]  # [B, W]; sorted ids -> coalesced gather
+
+    pool_ids = jax.random.randint(kp, (P,), 0, n_items, dtype=jnp.int32)
+    pool_reps = state.item_table[pool_ids]  # [P, W]
+    shifts = jax.random.randint(kr, (K,), 0, P, dtype=jnp.int32)
+    rp = jnp.stack(
+        [jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)]
+    )  # [K, P, W]
+    rids = jnp.stack(
+        [jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)]
+    )  # [K, P]
+
+    u1 = with_unit_bias(u)  # [B, W]
+    pos_pred = score_pairs(u, prep)  # [B]
+    u1q = u1.reshape(Q, P, W)
+    # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
+    # trick) + user_bias, exactly _score_candidates' scoring.
+    preds = (
+        jnp.einsum("qsd,ksd->kqs", u1q, rp) + u[:, -1].reshape(1, Q, P)
+    ).reshape(K, B)
+    cand_ids = jnp.broadcast_to(rids[:, None, :], (K, Q, P)).reshape(K, B)
+
+    violates = preds > pos_pred[None, :] - 1.0  # template:875
+    is_pos = in_positives_slots(positives, uid, cand_ids)  # template:878
+    cand = violates & (~is_pos)
+    found = cand.any(axis=0)
+    j = jnp.argmax(cand, axis=0)
+    sampled = (j + 1).astype(jnp.float32)
+    rank_weight = jnp.log(jnp.maximum(1.0, jnp.floor((n_items - 1) / sampled)))
+    loss = jnp.minimum(batch.weight * rank_weight, MAX_LOSS)  # template:881-885
+    upd = batch.valid & (batch.y > 0) & found  # template:831
+    lossm = jnp.where(upd, loss, 0.0)  # [B]; masked examples are exact no-ops
+
+    onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
+        jnp.float32
+    )  # [K, B]
+    nrep = jnp.einsum(
+        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp
+    ).reshape(B, W)
+
+    # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
+    gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
+    gu = lossm[:, None] * with_unit_bias(nrep - prep)  # [B, W]
+
+    # --- item table: positive pairs (ids already sorted) ----------------
+    item_table, item_acc = _sorted_update(
+        state.item_table, state.item_acc, pos_ids, -gi,
+        hp.learning_rate, use_pallas,
+    )
+
+    # --- item table: pool negatives (P-row scatter) ---------------------
+    sel = onehot * lossm[None, :]  # [K, B] gradient weights per candidate
+    selq = sel.reshape(K, Q, P)
+    sel2q = (sel * sel).reshape(K, Q, P)
+    g_roll = jnp.einsum("kqs,qsd->ksd", selq, u1q)  # [K, P, W] rolled space
+    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q)
+    gp = jnp.zeros((P, W), jnp.float32)
+    gp2 = jnp.zeros((P, W), jnp.float32)
+    for k in range(K):  # fold rotations back to pool slots
+        gp = gp + jnp.roll(g_roll[k], shifts[k], axis=0)
+        gp2 = gp2 + jnp.roll(g2_roll[k], shifts[k], axis=0)
+    lrp = hp.learning_rate * jax.lax.rsqrt(item_acc[pool_ids])
+    item_table = item_table.at[pool_ids].add(-(lrp * gp))
+    item_acc = item_acc.at[pool_ids].add(gp2)
+
+    # --- user table -----------------------------------------------------
+    if user_pallas:
+        sgu = gu[sigma]  # reorder gradients into user-sorted order
+        user_table, user_acc = _sorted_update(
+            state.user_table, state.user_acc, suid, sgu,
+            hp.learning_rate, use_pallas,
+        )
+    else:
+        lru = hp.learning_rate * jax.lax.rsqrt(state.user_acc[uid])
+        user_table = state.user_table.at[uid].add(-(lru * gu))
+        user_acc = state.user_acc.at[uid].add(gu * gu)
+
+    return state._replace(
+        item_table=item_table,
+        item_acc=item_acc,
+        user_table=user_table,
+        user_acc=user_acc,
+    )
+
+
+def fast_epoch(state: ModelState, data, key, hp: Hyperparams, batch_size: int):
+    """One fast-path epoch: triple-sort shuffle + scan over sorted batches."""
+    n_pad = data.packed.shape[1]
+    n_batches = n_pad // batch_size
+    kperm, kbatch = jax.random.split(key)
+    keys = jax.random.split(kbatch, n_batches)
+
+    shuffled, suid, sigma = shuffle_item_sorted(
+        data.packed, kperm, n_batches, batch_size
+    )
+    n_items = data.item_feats.n_rows
+    use_pallas = jax.default_backend() == "tpu"
+
+    def body(state, xs):
+        packed, su, sg, bkey = xs
+        state = warp_pool_step(
+            state, _unpack_batch5(packed), data.positives, su, sg, hp, bkey,
+            n_items=n_items, use_pallas=use_pallas,
+            user_pallas=_USER_PALLAS,
+        )
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, (shuffled, suid, sigma, keys))
+    return state

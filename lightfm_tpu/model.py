@@ -524,12 +524,19 @@ class LightFM:
             self._state = shard_state(self._state, self.mesh, self.table_partition)
             data = shard_train_data(data, self.mesh, self.shard_examples)
 
+        from lightfm_tpu.fast_warp import fast_warp_eligible
+
+        fast = fast_warp_eligible(
+            hp, data, self.mesh, self.example_shuffle, batch_size
+        )
+
         # Staged device-resident training set, exposed so callers (warm
         # re-fits, benchmarks) can re-dispatch epochs without re-paying host
         # prep + upload.  Overwritten every fit_partial.
         self._staged_train_data = data
         self._staged_hp = hp
         self._staged_batch_size = batch_size
+        self._staged_fast = fast
 
         # All device randomness is rooted in the numpy RandomState so that
         # seeded runs reproduce and the RNG advances across epochs (the
@@ -550,7 +557,7 @@ class LightFM:
                 key = jax.random.key(int(seeds[i]))
                 self._state = run_epoch(
                     self._state, data, key, hp, batch_size, mesh=self.mesh,
-                    shuffle=self.example_shuffle,
+                    shuffle=self.example_shuffle, fast=fast,
                 )
                 self._check_finite()
         elif epochs > 0:
@@ -558,7 +565,7 @@ class LightFM:
             # (`_check_finite`, lightfm.py:447-464) still raises from fit.
             self._state = run_epochs(
                 self._state, data, jnp.asarray(seeds), hp, batch_size, mesh=self.mesh,
-                shuffle=self.example_shuffle,
+                shuffle=self.example_shuffle, fast=fast,
             )
             self._check_finite()
 
@@ -903,6 +910,7 @@ class LightFM:
         d.pop("_staged_train_data", None)
         d.pop("_staged_hp", None)
         d.pop("_staged_batch_size", None)
+        d.pop("_staged_fast", None)
         if state is None:
             d["_state_np"] = None
         else:

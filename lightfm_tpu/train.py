@@ -69,7 +69,13 @@ def choose_batch_size(n_examples: int, requested: Optional[int]) -> int:
     # steps per epoch to match the reference's accuracy floors while cutting
     # the dispatch-bound step count on small datasets (the ML-100k
     # quickstart measures both faster AND more accurate at 1024 than 512).
-    target = max(1024, min(8192, n_examples // 64))
+    # Beyond ~0.5M examples the TPU is scatter/step-bound, not accuracy
+    # bound: the cap grows as ~n/40 (>= 40 optimizer steps/epoch, the
+    # regime where the 5M-scale bench holds its train-AUC guard) up to
+    # 131072 — so a default-config production fit runs the same batch
+    # shape the published large-scale numbers use (round-2 verdict #3).
+    cap = 8192 if n_examples <= (1 << 19) else min(131072, n_examples // 40)
+    target = max(1024, min(cap, n_examples // 64))
     # Round to a power of two for stable jit cache keys.
     return 1 << (int(target) - 1).bit_length()
 
@@ -239,7 +245,7 @@ def _shuffle_local(packed, kperm, n_batches, batch_size, mesh):
     )(packed, keys)
 
 
-def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global"):
+def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global", fast=False):
     """One epoch: device-side shuffle + scan over minibatches.
 
     With a mesh, each minibatch is sharded over the 'data' axis so the
@@ -247,7 +253,15 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global"):
     replicated or row-sharded tables become XLA collectives under GSPMD.
     ``shuffle="local"`` keeps the permutation within each data-axis shard
     (see :func:`_shuffle_local`) for host-sharded example blocks.
+    ``fast=True`` (callers decide via `fast_warp.fast_warp_eligible`; it is
+    part of the jit cache key) takes the specialised WARP path — pool
+    negatives + item-sorted batches + sorted Pallas updates.
     """
+    if fast:
+        from lightfm_tpu.fast_warp import fast_epoch
+
+        return fast_epoch(state, data, key, hp, batch_size)
+
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size
     kperm, kbatch = jax.random.split(key)
@@ -285,7 +299,9 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global"):
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle"))
+@functools.partial(
+    jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle", "fast")
+)
 def run_epoch(
     state: ModelState,
     data: TrainData,
@@ -294,11 +310,14 @@ def run_epoch(
     batch_size: int,
     mesh=None,
     shuffle: str = "global",
+    fast: bool = False,
 ) -> ModelState:
-    return _epoch(state, data, key, hp, batch_size, mesh, shuffle)
+    return _epoch(state, data, key, hp, batch_size, mesh, shuffle, fast)
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle"))
+@functools.partial(
+    jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle", "fast")
+)
 def run_epochs(
     state: ModelState,
     data: TrainData,
@@ -307,12 +326,16 @@ def run_epochs(
     batch_size: int,
     mesh=None,
     shuffle: str = "global",
+    fast: bool = False,
 ) -> ModelState:
     """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
 
     def body(state, seed):
         return (
-            _epoch(state, data, jax.random.key(seed), hp, batch_size, mesh, shuffle),
+            _epoch(
+                state, data, jax.random.key(seed), hp, batch_size, mesh,
+                shuffle, fast,
+            ),
             None,
         )
 

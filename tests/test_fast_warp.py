@@ -1,0 +1,145 @@
+"""Tests for the specialised WARP fast path (lightfm_tpu.fast_warp).
+
+The fast path must (1) fire exactly for its gated configuration, (2) keep
+the epoch shuffle a true permutation with item-sorted batches and a
+consistent user-sort/sigma, and (3) train to the same statistical quality
+as the generic `losses.warp_step` path on planted-structure data — the
+same bar the reference applies to its Hogwild parallelism
+(`tests/test_movielens.py:536-546`).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from lightfm_tpu import LightFM
+from lightfm_tpu.evaluation import auc_score
+import lightfm_tpu.fast_warp as fw
+from lightfm_tpu.train import build_train_data, run_epochs
+
+
+def _planted(nu=1500, ni=8000, per_user=30, d=16, seed=7):
+    rng = np.random.RandomState(seed)
+    U = rng.randn(nu, d)
+    V = rng.randn(ni, d)
+    top = np.argsort(-(U @ V.T), axis=1)[:, :per_user]
+    rows = np.repeat(np.arange(nu), per_user)
+    cols = top.ravel()
+    return sp.coo_matrix(
+        (np.ones(len(rows), np.float32), (rows, cols)), shape=(nu, ni)
+    )
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return _planted()
+
+
+def test_eligibility_gate(planted):
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=1)
+    assert m._staged_fast  # big identity/adagrad/alpha-0 config -> fast
+
+    # Each disqualifier must kill the gate.
+    for kw in (
+        dict(loss="bpr"),
+        dict(learning_schedule="adadelta"),
+        dict(item_alpha=1e-5),
+        dict(user_alpha=1e-5),
+        dict(no_components=4),  # table under MIN_TABLE_ELEMS
+    ):
+        m2 = LightFM(
+            **{**dict(loss="warp", no_components=64, random_state=10), **kw}
+        )
+        m2.fit(planted, epochs=0)
+        assert not m2._staged_fast, kw
+
+    # Explicit (non-identity) features disqualify too.
+    m3 = LightFM(loss="warp", no_components=64, random_state=10)
+    m3.fit(planted, epochs=0, item_features=sp.eye(8000, dtype=np.float32).tocsr()[:, :4000])
+    assert not m3._staged_fast
+
+
+def test_shuffle_item_sorted_invariants():
+    rng = np.random.RandomState(0)
+    n, B = 4096, 512
+    n_batches = n // B
+    users = rng.randint(0, 300, n).astype(np.int32)
+    items = rng.randint(0, 500, n).astype(np.int32)
+    packed = np.zeros((8, n), dtype=np.int32)
+    packed[0] = users
+    packed[1] = items
+    packed[2] = np.arange(n)  # unique tag to track the permutation
+    packed[3] = 7
+    packed[4] = 1
+    shuffled, suid, sigma = jax.jit(
+        fw.shuffle_item_sorted, static_argnums=(2, 3)
+    )(jnp.asarray(packed), jax.random.key(3), n_batches, B)
+    shuffled = np.asarray(shuffled)
+    suid = np.asarray(suid)
+    sigma = np.asarray(sigma)
+
+    # Every example appears exactly once (tags are a permutation).
+    assert sorted(shuffled[:, 2, :].ravel().tolist()) == list(range(n))
+    for b in range(n_batches):
+        ib = shuffled[b, 1, :]
+        ub = shuffled[b, 0, :]
+        tag = shuffled[b, 2, :]
+        # batches item-sorted; tag/user consistent with the original arrays
+        assert (np.diff(ib) >= 0).all()
+        assert (items[tag] == ib).all()
+        assert (users[tag] == ub).all()
+        # user-sort metadata: suid ascending and sigma maps into the batch
+        assert (np.diff(suid[b]) >= 0).all()
+        assert sorted(sigma[b].tolist()) == list(range(B))
+        assert (ub[sigma[b]] == suid[b]).all()
+
+
+def test_fast_matches_generic_statistically(planted):
+    """Same data, same seeds: fast=True vs fast=False epochs land within a
+    small AUC margin (pool negatives + sorted updates are statistically
+    equivalent to per-example draws + XLA scatters)."""
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0)  # initialise state + staging
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(5, dtype=jnp.uint32)
+
+    init = m._state
+    train_csr = planted.tocsr()
+
+    aucs = {}
+    for fast in (False, True):
+        m._state = run_epochs(init, data, seeds, hp, bs, fast=fast)
+        aucs[fast] = float(auc_score(m, train_csr).mean())
+    assert aucs[True] > 0.95, aucs
+    assert aucs[True] > aucs[False] - 0.02, aucs
+
+
+def test_fast_path_deterministic(planted):
+    runs = []
+    for _ in range(2):
+        m = LightFM(loss="warp", no_components=64, random_state=42)
+        m.fit(planted, epochs=2)
+        assert m._staged_fast
+        runs.append(np.asarray(m._state.item_table))
+    assert (runs[0] == runs[1]).all()
+
+
+def test_fast_step_invalid_rows_are_noops(planted):
+    """Padding rows (valid=0) and y<=0 rows must leave tables untouched:
+    run one epoch on data whose examples are ALL invalid."""
+    coo = planted.copy()
+    coo.data = -np.ones_like(coo.data)  # y <= 0 -> warp skips (template:831)
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(coo, epochs=0)
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    before = m._state
+    after = run_epochs(before, data, jnp.arange(1, dtype=jnp.uint32), hp, bs, fast=True)
+    assert (np.asarray(after.item_table) == np.asarray(before.item_table)).all()
+    assert (np.asarray(after.user_table) == np.asarray(before.user_table)).all()
+    assert (np.asarray(after.item_acc) == np.asarray(before.item_acc)).all()
