@@ -1,5 +1,5 @@
-"""Specialised WARP training path: pool negatives + item-sorted batches +
-sorted Pallas table updates.
+"""Specialised pairwise-loss training path (WARP and BPR): pool negatives
++ item-sorted batches + sorted Pallas table updates.
 
 The generic batched WARP step (`losses.warp_step`) is bound by two
 fine-grained random-HBM-access patterns on TPU (measured on v5e,
@@ -37,10 +37,15 @@ semantics (`_lightfm_fast.pyx.template:784-912`) statistically intact:
   id list and the permutation into it, so the user table can take the same
   sorted-kernel path (gradients permuted once, then block-dense update).
 
+BPR shares the whole structure (`bpr_pool_step`): its pool is drawn from
+the EMPIRICAL positive-item distribution (template:1123-1127), selection
+is "first non-positive of bpr_tries rolled draws" (no scoring needed until
+the chosen candidate), and the update pass is identical.
+
 Eligibility is static (hyperparameters + pytree types + backend); anything
-else — adadelta, lazy L2, explicit feature matrices, meshes, k-OS — stays
-on the generic `losses.warp_step` path, which remains the reference
-implementation of record for WARP semantics.
+else — adadelta, lazy L2, explicit feature matrices, meshes, k-OS,
+logistic — stays on the generic `losses` path, which remains the
+reference implementation of record for loss semantics.
 """
 
 from __future__ import annotations
@@ -80,10 +85,16 @@ _PRECISION = {
 
 
 def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int) -> bool:
-    """Static gate for the specialised path (trace-time decision)."""
+    """Static gate for the specialised path (trace-time decision).
+
+    Covers WARP and BPR (both pairwise losses share the pool/sort
+    machinery; BPR's pool is drawn from the empirical item distribution).
+    """
     if not _ENABLED:
         return False
-    if hp.loss != "warp" or hp.adadelta:
+    if hp.loss not in ("warp", "bpr") or hp.adadelta:
+        return False
+    if hp.loss == "bpr" and data.train_items is None:
         return False
     if hp.item_alpha != 0.0 or hp.user_alpha != 0.0:
         return False
@@ -174,6 +185,74 @@ def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool):
     return table, acc
 
 
+def _pool_rolls(table, pool_ids, shifts, K: int):
+    """K rotated views of the pool's reps and ids ([K, P, W], [K, P])."""
+    pool_reps = table[pool_ids]
+    rp = jnp.stack([jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)])
+    rids = jnp.stack([jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)])
+    return rp, rids
+
+
+def _apply_pool_updates(
+    state: ModelState,
+    uid, pos_ids, gi, gu, suid, sigma,
+    pool_ids, sel, u1q, shifts,
+    lr: float, use_pallas: bool, user_pallas: bool,
+):
+    """Shared fast-path update pass (positive pair / pool negatives / user).
+
+    ``sel[k, b]`` is the gradient weight of rolled candidate ``k`` of
+    example ``b`` (the example's loss where selected, 0 elsewhere);
+    ``gi``/``gu`` are the [B, W] positive-item and user gradients in
+    losses._apply_pairwise's fused [emb | bias] layout.
+
+    Update order within the step: positive items (pre-step accumulator),
+    pool negatives (post-positive accumulator), users (pre-step
+    accumulator) — batched updates commute within each group, and the
+    cross-group staleness is the same class the synchronous batching
+    already introduces.
+    """
+    K = sel.shape[0]
+    Q, P, W = u1q.shape
+
+    # --- item table: positive pairs (ids already sorted) ----------------
+    item_table, item_acc = _sorted_update(
+        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas
+    )
+
+    # --- item table: pool negatives (P-row scatter) ---------------------
+    selq = sel.reshape(K, Q, P)
+    sel2q = (sel * sel).reshape(K, Q, P)
+    g_roll = jnp.einsum("kqs,qsd->ksd", selq, u1q)  # [K, P, W] rolled space
+    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q)
+    gp = jnp.zeros((P, W), jnp.float32)
+    gp2 = jnp.zeros((P, W), jnp.float32)
+    for k in range(K):  # fold rotations back to pool slots
+        gp = gp + jnp.roll(g_roll[k], shifts[k], axis=0)
+        gp2 = gp2 + jnp.roll(g2_roll[k], shifts[k], axis=0)
+    lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
+    item_table = item_table.at[pool_ids].add(-(lrp * gp))
+    item_acc = item_acc.at[pool_ids].add(gp2)
+
+    # --- user table -----------------------------------------------------
+    if user_pallas:
+        sgu = gu[sigma]  # reorder gradients into user-sorted order
+        user_table, user_acc = _sorted_update(
+            state.user_table, state.user_acc, suid, sgu, lr, use_pallas
+        )
+    else:
+        lru = lr * jax.lax.rsqrt(state.user_acc[uid])
+        user_table = state.user_table.at[uid].add(-(lru * gu))
+        user_acc = state.user_acc.at[uid].add(gu * gu)
+
+    return state._replace(
+        item_table=item_table,
+        item_acc=item_acc,
+        user_table=user_table,
+        user_acc=user_acc,
+    )
+
+
 def warp_pool_step(
     state: ModelState,
     batch: Batch,
@@ -192,11 +271,7 @@ def warp_pool_step(
 
     Semantics per example match `losses.warp_step` (first margin violator
     among K draws; rank-weighted, clipped loss; template:784-912) with the
-    pool negative source documented in the module docstring.  Update order
-    within the step: positive items (pre-step accumulator), pool negatives
-    (post-positive accumulator), users (pre-step accumulator) — batched
-    updates commute within each group, and the cross-group staleness is the
-    same class the synchronous batching already introduces.
+    pool negative source documented in the module docstring.
     """
     uid, pos_ids = batch.user_ids, batch.item_ids
     B = uid.shape[0]
@@ -210,14 +285,8 @@ def warp_pool_step(
     prep = state.item_table[pos_ids]  # [B, W]; sorted ids -> coalesced gather
 
     pool_ids = jax.random.randint(kp, (P,), 0, n_items, dtype=jnp.int32)
-    pool_reps = state.item_table[pool_ids]  # [P, W]
     shifts = jax.random.randint(kr, (K,), 0, P, dtype=jnp.int32)
-    rp = jnp.stack(
-        [jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)]
-    )  # [K, P, W]
-    rids = jnp.stack(
-        [jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)]
-    )  # [K, P]
+    rp, rids = _pool_rolls(state.item_table, pool_ids, shifts, K)
 
     u1 = with_unit_bias(u)  # [B, W]
     pos_pred = score_pairs(u, prep)  # [B]
@@ -250,45 +319,81 @@ def warp_pool_step(
     # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
     gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
     gu = lossm[:, None] * with_unit_bias(nrep - prep)  # [B, W]
+    sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
 
-    # --- item table: positive pairs (ids already sorted) ----------------
-    item_table, item_acc = _sorted_update(
-        state.item_table, state.item_acc, pos_ids, -gi,
-        hp.learning_rate, use_pallas,
+    return _apply_pool_updates(
+        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, sel, u1q, shifts,
+        hp.learning_rate, use_pallas, user_pallas,
     )
 
-    # --- item table: pool negatives (P-row scatter) ---------------------
-    sel = onehot * lossm[None, :]  # [K, B] gradient weights per candidate
-    selq = sel.reshape(K, Q, P)
-    sel2q = (sel * sel).reshape(K, Q, P)
-    g_roll = jnp.einsum("kqs,qsd->ksd", selq, u1q)  # [K, P, W] rolled space
-    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q)
-    gp = jnp.zeros((P, W), jnp.float32)
-    gp2 = jnp.zeros((P, W), jnp.float32)
-    for k in range(K):  # fold rotations back to pool slots
-        gp = gp + jnp.roll(g_roll[k], shifts[k], axis=0)
-        gp2 = gp2 + jnp.roll(g2_roll[k], shifts[k], axis=0)
-    lrp = hp.learning_rate * jax.lax.rsqrt(item_acc[pool_ids])
-    item_table = item_table.at[pool_ids].add(-(lrp * gp))
-    item_acc = item_acc.at[pool_ids].add(gp2)
 
-    # --- user table -----------------------------------------------------
-    if user_pallas:
-        sgu = gu[sigma]  # reorder gradients into user-sorted order
-        user_table, user_acc = _sorted_update(
-            state.user_table, state.user_acc, suid, sgu,
-            hp.learning_rate, use_pallas,
-        )
-    else:
-        lru = hp.learning_rate * jax.lax.rsqrt(state.user_acc[uid])
-        user_table = state.user_table.at[uid].add(-(lru * gu))
-        user_acc = state.user_acc.at[uid].add(gu * gu)
+def bpr_pool_step(
+    state: ModelState,
+    batch: Batch,
+    positives,
+    train_items: jax.Array,
+    suid: jax.Array,
+    sigma: jax.Array,
+    hp: Hyperparams,
+    key: jax.Array,
+    *,
+    n_items: int,
+    use_pallas: bool,
+    user_pallas: bool,
+) -> ModelState:
+    """One fast-path BPR step over an ITEM-SORTED batch.
 
-    return state._replace(
-        item_table=item_table,
-        item_acc=item_acc,
-        user_table=user_table,
-        user_acc=user_acc,
+    Semantics per example match `losses.bpr_step` (``fit_bpr``,
+    template:1074-1182): the negative is the first of ``bpr_tries`` draws
+    from the EMPIRICAL positive-item distribution (template:1123-1127) that
+    is not one of the user's positives, falling through to the last draw.
+    The pool holds empirical draws (``train_items`` at random positions);
+    selection needs no scores, so only the chosen candidate is scored.
+    """
+    del n_items
+    uid, pos_ids = batch.user_ids, batch.item_ids
+    B = uid.shape[0]
+    T = hp.bpr_tries
+    P = min(POOL_SIZE, B)
+    Q = B // P
+    W = state.item_table.shape[1]
+    kp, kr = jax.random.split(key)
+
+    u = state.user_table[uid]
+    prep = state.item_table[pos_ids]
+
+    n_examples = train_items.shape[0]
+    pool_ids = train_items[
+        jax.random.randint(kp, (P,), 0, n_examples, dtype=jnp.int32)
+    ]
+    shifts = jax.random.randint(kr, (T,), 0, P, dtype=jnp.int32)
+    rp, rids = _pool_rolls(state.item_table, pool_ids, shifts, T)
+    cand_ids = jnp.broadcast_to(rids[:, None, :], (T, Q, P)).reshape(T, B)
+
+    ok = ~in_positives_slots(positives, uid, cand_ids)  # [T, B]
+    j = jnp.where(ok.any(axis=0), jnp.argmax(ok, axis=0), T - 1)
+    onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
+        jnp.float32
+    )
+    nrep = jnp.einsum(
+        "kqs,ksd->qsd", onehot.reshape(T, Q, P), rp
+    ).reshape(B, W)
+
+    u1 = with_unit_bias(u)
+    u1q = u1.reshape(Q, P, W)
+    pos_pred = score_pairs(u, prep)
+    neg_pred = score_pairs(u, nrep)
+    loss = batch.weight * (1.0 - jax.nn.sigmoid(pos_pred - neg_pred))  # :1158
+    upd = batch.valid & (batch.y > 0)  # template:1116
+    lossm = jnp.where(upd, loss, 0.0)
+
+    gi = lossm[:, None] * u1
+    gu = lossm[:, None] * with_unit_bias(nrep - prep)
+    sel = onehot * lossm[None, :]
+
+    return _apply_pool_updates(
+        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, sel, u1q, shifts,
+        hp.learning_rate, use_pallas, user_pallas,
     )
 
 
@@ -307,11 +412,19 @@ def fast_epoch(state: ModelState, data, key, hp: Hyperparams, batch_size: int):
 
     def body(state, xs):
         packed, su, sg, bkey = xs
-        state = warp_pool_step(
-            state, _unpack_batch5(packed), data.positives, su, sg, hp, bkey,
-            n_items=n_items, use_pallas=use_pallas,
-            user_pallas=_USER_PALLAS,
-        )
+        batch = _unpack_batch5(packed)
+        if hp.loss == "bpr":
+            state = bpr_pool_step(
+                state, batch, data.positives, data.train_items, su, sg, hp,
+                bkey, n_items=n_items, use_pallas=use_pallas,
+                user_pallas=_USER_PALLAS,
+            )
+        else:
+            state = warp_pool_step(
+                state, batch, data.positives, su, sg, hp, bkey,
+                n_items=n_items, use_pallas=use_pallas,
+                user_pallas=_USER_PALLAS,
+            )
         return state, None
 
     state, _ = jax.lax.scan(body, state, (shuffled, suid, sigma, keys))

@@ -398,9 +398,10 @@ def bpr_step(
     the last draw is used, matching the reference loop's fall-through.
     """
     upd = batch.valid & (batch.y > 0)  # template:1116
+    B = batch.user_ids.shape[0]
     n_examples = train_items.shape[0]
     T = hp.bpr_tries
-    r = jax.random.randint(key, (batch.user_ids.shape[0], T), 0, n_examples, dtype=jnp.int32)
+    r = jax.random.randint(key, (B, T), 0, n_examples, dtype=jnp.int32)
     cand = train_items[r]  # [B, T]
     ok = ~in_positives(positives, batch.user_ids, cand)
     j = jnp.where(ok.any(-1), jnp.argmax(ok, axis=-1), T - 1)
@@ -408,10 +409,17 @@ def bpr_step(
 
     u_scale, i_scale = _scales(state, hp)
     u_rep = batch_representation(state.user_table, user_feats, batch.user_ids, u_scale)
-    p_rep = batch_representation(state.item_table, item_feats, batch.item_ids, i_scale)
-    n_rep = batch_representation(state.item_table, item_feats, neg_id, i_scale)
+    # Positive and negative ride ONE slot-major gather + one scoring einsum
+    # (the warp_step trick): two separate B-row gathers + two score_pairs
+    # measured ~30% slower per epoch on v5e (round-2 verdict #5).
+    all_ids = jnp.concatenate([batch.item_ids[None, :], neg_id[None, :]], axis=0)
+    reps_flat = batch_representation(
+        state.item_table, item_feats, all_ids.reshape(-1), i_scale
+    )  # [2B, W] slot-major
+    preds = _score_candidates(u_rep, reps_flat, 2)  # [2, B]
+    p_rep, n_rep = reps_flat[:B], reps_flat[B:]
     loss = batch.weight * (
-        1.0 - jax.nn.sigmoid(score_pairs(u_rep, p_rep) - score_pairs(u_rep, n_rep))
+        1.0 - jax.nn.sigmoid(preds[0] - preds[1])
     )  # template:1158
     return _apply_pairwise(
         state, hp, user_feats, item_feats, batch.user_ids, batch.item_ids, neg_id,

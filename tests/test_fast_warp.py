@@ -45,7 +45,8 @@ def test_eligibility_gate(planted):
 
     # Each disqualifier must kill the gate.
     for kw in (
-        dict(loss="bpr"),
+        dict(loss="logistic"),
+        dict(loss="warp-kos"),
         dict(learning_schedule="adadelta"),
         dict(item_alpha=1e-5),
         dict(user_alpha=1e-5),
@@ -143,3 +144,27 @@ def test_fast_step_invalid_rows_are_noops(planted):
     assert (np.asarray(after.item_table) == np.asarray(before.item_table)).all()
     assert (np.asarray(after.user_table) == np.asarray(before.user_table)).all()
     assert (np.asarray(after.item_acc) == np.asarray(before.item_acc)).all()
+
+
+def test_bpr_fast_matches_generic_statistically(planted):
+    m = LightFM(loss="bpr", no_components=64, random_state=10)
+    m.fit(planted, epochs=0)
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    # BPR's sigmoid loss needs more epochs than WARP on this data (both
+    # paths sit at ~0.5 after 5); at 20 both reach ~0.99.
+    seeds = jnp.arange(20, dtype=jnp.uint32)
+    init = m._state
+    train_csr = planted.tocsr()
+    aucs = {}
+    for fast in (False, True):
+        m._state = run_epochs(init, data, seeds, hp, bs, fast=fast)
+        aucs[fast] = float(auc_score(m, train_csr).mean())
+    assert aucs[True] > 0.95, aucs
+    assert aucs[True] > aucs[False] - 0.02, aucs
+
+
+def test_bpr_eligibility(planted):
+    m = LightFM(loss="bpr", no_components=64, random_state=10)
+    m.fit(planted, epochs=1)
+    assert m._staged_fast
