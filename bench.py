@@ -109,6 +109,80 @@ def _auc_sample(model, train_csr, n_sample=2048, seed=0):
     return float(auc_score(model, sub, check_intersections=False).mean())
 
 
+# Peak specs for roofline reporting, keyed by a substring of
+# jax.devices()[0].device_kind.  HBM bandwidth is the relevant ceiling for
+# this workload (gather/scatter-dominated); bf16 MXU peak is included so
+# the (intentionally tiny) MFU can be stated honestly.
+_DEVICE_PEAKS = {
+    "v5 lite": {"hbm_gbps": 819.0, "bf16_tflops": 197.0},
+    "v5e": {"hbm_gbps": 819.0, "bf16_tflops": 197.0},
+    "v5p": {"hbm_gbps": 2765.0, "bf16_tflops": 459.0},
+    "v4": {"hbm_gbps": 1228.0, "bf16_tflops": 275.0},
+    "v6": {"hbm_gbps": 1640.0, "bf16_tflops": 918.0},
+}
+
+
+def _device_peaks():
+    import jax
+
+    kind = getattr(jax.devices()[0], "device_kind", "") or str(jax.devices()[0])
+    for key, peaks in _DEVICE_PEAKS.items():
+        if key in kind.lower():
+            return peaks
+    return None
+
+
+def _roofline(loss, entry, *, B, W, nnz, n_users, n_items, pos_width, K):
+    """Analytic lower-bound traffic + FLOP model -> achieved % of roofline.
+
+    Bytes per optimizer step (f32, identity features) counts only traffic
+    the algorithm cannot avoid, so ``hbm_bw_util`` is a LOWER bound on the
+    achieved-bandwidth fraction:
+
+    - forward gathers: user reps B*W, positive reps B*W, rejection rows
+      B*pos_width (pairwise losses);
+    - update streams: gradients in and touched rows read+written for
+      (table, accumulator) on both sides — bounded by the distinct-row
+      expectation min(B, R) per table.
+
+    FLOPs per example: scoring (2*(K+1)*W) + gradient/update arithmetic
+    (~8*W per touched row, 3 rows) — quoted against the bf16 MXU peak to
+    show this workload is bandwidth-bound by construction (MFU << 1%).
+    """
+    f32 = 4
+    rows_i = min(B, n_items)
+    rows_u = min(B, n_users)
+    gathers = 2 * B * W * f32
+    if loss in ("warp", "bpr"):
+        gathers += B * pos_width * f32  # rejection-structure rows
+    updates = 2 * 2 * (rows_i + rows_u) * W * f32  # r+w x (table, acc)
+    updates += 2 * B * W * f32  # gradient streams (item, user)
+    bytes_step = gathers + updates
+
+    k_score = (K + 1) if loss == "warp" else 2
+    flops_ex = 2 * k_score * W + 3 * 8 * W
+    steps = max(1, nnz // B)
+    step_s = entry["steady_5epoch_wall_s"] / (5 * steps)
+
+    peaks = _device_peaks()
+    entry["roofline"] = {
+        "bytes_per_step_lower_bound": bytes_step,
+        "flops_per_example": flops_ex,
+        "step_wall_s": round(step_s, 6),
+        "achieved_gbps_lower_bound": round(bytes_step / step_s / 1e9, 1),
+        "achieved_gflops": round(
+            flops_ex * B / step_s / 1e9, 1
+        ),
+    }
+    if peaks:
+        entry["roofline"]["hbm_bw_util"] = round(
+            bytes_step / step_s / (peaks["hbm_gbps"] * 1e9), 4
+        )
+        entry["roofline"]["mfu_bf16"] = round(
+            flops_ex * B / step_s / (peaks["bf16_tflops"] * 1e12), 6
+        )
+
+
 def _bench_large_scale(detail):
     """Per-loss throughput on the 5M x D=64 production shape."""
     import jax
@@ -165,6 +239,17 @@ def _bench_large_scale(detail):
             entry["vs_cpu32_linear_estimate"] = round(
                 entry["steady_epoch_examples_per_sec"] / _REF_CPU32_D64_ESTIMATE, 2
             )
+        from lightfm_tpu.state import table_width
+
+        pos_width = (
+            data.positives.idx.shape[1] if data.positives is not None else 0
+        )
+        _roofline(
+            loss, entry,
+            B=bs, W=table_width(D), nnz=coo.nnz,
+            n_users=n_users, n_items=n_items,
+            pos_width=pos_width, K=model._hp().max_sampled,
+        )
         out[loss] = entry
     detail["large_scale"] = {
         "config": "5M-interactions-200kx100k-D64-batch131072",

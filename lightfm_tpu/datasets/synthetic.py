@@ -42,8 +42,21 @@ def generate_synthetic(
     reference's real-data floors (train AUC ~0.94, p@5 ~0.6).  Known deltas:
     the degree tail is lognormal (real data is slightly heavier above ~400),
     the most-popular item draws ~740 vs 583 interactions, and logistic-loss
-    train AUC runs ~0.73 vs the reference's 0.84 (the twin's within-user
-    rating noise differs from real rating behaviour).
+    train AUC runs ~0.73 vs the reference's 0.84.
+
+    The logistic gap is structural, not a noise-tuning issue (measured,
+    round 3): adding a cross-user item-quality component to the rating
+    assignment (the feature real ratings have and pure ``<u, v>`` lacks)
+    raises the *rating-level* pairwise AUC to real-data levels (0.88 ->
+    0.95 train at gamma=1.5) but leaves the *ranking* AUC that the floor
+    measures unchanged (0.731 -> 0.732), while diluting the planted
+    preference signal the pairwise-loss floors depend on (WARP train AUC
+    0.943 -> 0.930, breaking the adadelta/k-OS margins).  Ranking AUC on
+    the twin is bound by each user's positives being defined *within* their
+    chosen set, so item-level label consistency adds nothing the item bias
+    has not already learned.  Real-dataset logistic parity is therefore
+    proven on real data instead: ``tests/test_movielens_real.py`` runs the
+    reference's exact MovieLens thresholds whenever the zip is cached.
 
     Returns the same dict shape as :func:`fetch_movielens`:
     ``{train, test, item_features, item_feature_labels, item_labels}``.
