@@ -65,10 +65,16 @@ def _load_dataset():
     return train.tocoo(), test.tocoo(), "synthetic-ml100k"
 
 
-def _clustered_interactions(n_users, n_items, nnz, n_clusters=64, seed=0):
+def _clustered_interactions(n_users, n_items, nnz, n_clusters=64, seed=0,
+                            signed=False):
     """Large-scale synthetic with cheap planted structure: users belong to
     clusters, each preferring a contiguous item range (80% in-range draws).
-    Learnable signal at any scale without an expensive generator."""
+    Learnable signal at any scale without an expensive generator.
+
+    ``signed=True`` labels the off-preference 20% as -1 (same sparsity
+    pattern and rng stream): the logistic loss needs negative labels for its
+    accuracy guard to mean anything (the reference's CI binarizes ratings to
+    +/-1 the same way, `tests/test_movielens.py:48-58`)."""
     import scipy.sparse as sp
 
     rng = np.random.RandomState(seed)
@@ -82,10 +88,16 @@ def _clustered_interactions(n_users, n_items, nnz, n_clusters=64, seed=0):
         lo + rng.randint(0, span, nnz),
         rng.randint(0, n_items, nnz),
     ).astype(np.int32)
-    coo = sp.coo_matrix(
-        (np.ones(nnz, np.float32), (rows, cols)), shape=(n_users, n_items)
+    vals = (
+        np.where(in_pref, 1.0, -1.0).astype(np.float32)
+        if signed
+        else np.ones(nnz, np.float32)
     )
+    coo = sp.coo_matrix((vals, (rows, cols)), shape=(n_users, n_items))
     coo.sum_duplicates()
+    if signed:  # +1/-1 collisions on one cell -> keep the sign
+        coo.data = np.sign(coo.data).astype(np.float32)
+        coo.eliminate_zeros()
     return coo
 
 
@@ -192,13 +204,18 @@ def _bench_large_scale(detail):
 
     n_users, n_items, nnz, D = 200_000, 100_000, 5_000_000, 64
     coo = _clustered_interactions(n_users, n_items, nnz)
-    train_csr = coo.tocsr()
+    # Logistic trains on the +/-1-labelled twin of the SAME sparsity pattern
+    # (without negative labels its guard cannot distinguish learning from
+    # chance); the ranking losses train on the implicit all-ones matrix.
+    coo_signed = _clustered_interactions(n_users, n_items, nnz, signed=True)
     out = {}
     for loss in ("warp", "logistic", "bpr"):
+        loss_coo = coo_signed if loss == "logistic" else coo
+        loss_csr = loss_coo.tocsr()
         model = LightFM(
             loss=loss, no_components=D, random_state=10, batch_size=131072
         )
-        model.fit(coo, epochs=5)  # compile warmup
+        model.fit(loss_coo, epochs=5)  # compile warmup
         # Best of 2: remote-device jitter can add seconds to a single fit.
         first_wall = float("inf")
         for _ in range(2):
@@ -206,7 +223,7 @@ def _bench_large_scale(detail):
                 loss=loss, no_components=D, random_state=10, batch_size=131072
             )
             t0 = time.perf_counter()
-            model.fit(coo, epochs=5)
+            model.fit(loss_coo, epochs=5)
             first_wall = min(first_wall, time.perf_counter() - t0)
 
         # Steady-state epochs: the staged data is on device; re-dispatch the
@@ -217,14 +234,29 @@ def _bench_large_scale(detail):
         data = model._staged_train_data
         hp, bs = model._staged_hp, model._staged_batch_size
         fast = model._staged_fast
-        seeds = jnp.arange(5, dtype=jnp.uint32)
         state = model._state
-        state = run_epochs(state, data, seeds, hp, bs, fast=fast)  # warm
+        state = run_epochs(
+            state, data, jnp.arange(5, 10, dtype=jnp.uint32), hp, bs, fast=fast
+        )  # warm
         _ = float(jnp.sum(state.item_table))
         t0 = time.perf_counter()
-        state = run_epochs(state, data, seeds, hp, bs, fast=fast)
+        state = run_epochs(
+            state, data, jnp.arange(10, 15, dtype=jnp.uint32), hp, bs, fast=fast
+        )
         _ = float(jnp.sum(state.item_table))
         steady_wall = time.perf_counter() - t0
+
+        # Accuracy guard on the full 15-epoch trajectory (fit + both steady
+        # runs continue the same training); the sigmoid losses converge
+        # slower than WARP's rank-weighted one, so guard them further out.
+        guard_epochs = 15
+        if loss in ("bpr", "logistic"):
+            state = run_epochs(
+                state, data, jnp.arange(15, 30, dtype=jnp.uint32), hp, bs,
+                fast=fast,
+            )
+            guard_epochs = 30
+        model._state = state
 
         entry = {
             "fit_examples_per_sec": round(coo.nnz * 5 / first_wall, 1),
@@ -233,7 +265,8 @@ def _bench_large_scale(detail):
             "steady_5epoch_wall_s": round(steady_wall, 3),
             # Every loss carries the guard so no throughput number can be
             # gamed by broken training.
-            "auc_train_sample": round(_auc_sample(model, train_csr), 4),
+            "auc_train_sample": round(_auc_sample(model, loss_csr), 4),
+            "guard_epochs": guard_epochs,
         }
         if loss == "warp":
             entry["vs_cpu32_linear_estimate"] = round(

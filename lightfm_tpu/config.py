@@ -52,7 +52,12 @@ class Hyperparams:
         assert self.epsilon >= 0
         assert self.learning_schedule in SCHEDULES
         assert self.loss in LOSSES
-        if self.max_sampled < 1:
+        # The CONSTRUCTOR rejects max_sampled < 1 (LightFM.__init__, mirroring
+        # `lightfm/lightfm.py:215-216`), but a post-construction mutation to 0
+        # must reach fit as the reference's "no-op pass" semantics
+        # (`tests/test_movielens.py:247-263`), so only negatives are invalid
+        # here.
+        if self.max_sampled < 0:
             raise ValueError("max_sampled must be a positive integer")
 
     @property

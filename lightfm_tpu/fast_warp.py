@@ -73,7 +73,18 @@ POOL_SIZE = 16384
 # validated) generic path on small CPU test datasets.
 MIN_TABLE_ELEMS = 1 << 19
 
-_ENABLED = os.environ.get("LIGHTFM_TPU_FAST_WARP", "1") == "1"
+# "auto" (default): fast path on TPU backends only — the pool/sort machinery
+# is a win against TPU HBM gather/scatter costs but measured ~2x SLOWER than
+# the generic path on CPU.  "1"/"0" force it on/off everywhere (A/B, tests).
+_MODE = os.environ.get("LIGHTFM_TPU_FAST_WARP", "auto")
+
+
+def _enabled() -> bool:
+    if _MODE == "0":
+        return False
+    if _MODE == "1":
+        return True
+    return jax.default_backend() == "tpu"
 # The user-side sorted-kernel update needs one extra [B, W] permutation
 # gather per step; whether that beats the XLA scatter is size-dependent
 # (see bench).  Default on for TPU; env-overridable for A/B.
@@ -90,7 +101,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     Covers WARP and BPR (both pairwise losses share the pool/sort
     machinery; BPR's pool is drawn from the empirical item distribution).
     """
-    if not _ENABLED:
+    if not _enabled():
         return False
     if hp.loss not in ("warp", "bpr") or hp.adadelta:
         return False
@@ -223,8 +234,13 @@ def _apply_pool_updates(
     # --- item table: pool negatives (P-row scatter) ---------------------
     selq = sel.reshape(K, Q, P)
     sel2q = (sel * sel).reshape(K, Q, P)
-    g_roll = jnp.einsum("kqs,qsd->ksd", selq, u1q)  # [K, P, W] rolled space
-    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q)
+    # _PRECISION (default HIGHEST) keeps these contractions f32 on the MXU,
+    # matching the generic path's gradients and the update kernel's own
+    # precision control; env-overridable to bf16 for A/B.
+    g_roll = jnp.einsum(
+        "kqs,qsd->ksd", selq, u1q, precision=_PRECISION
+    )  # [K, P, W] rolled space
+    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q, precision=_PRECISION)
     gp = jnp.zeros((P, W), jnp.float32)
     gp2 = jnp.zeros((P, W), jnp.float32)
     for k in range(K):  # fold rotations back to pool slots
@@ -293,8 +309,12 @@ def warp_pool_step(
     u1q = u1.reshape(Q, P, W)
     # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
     # trick) + user_bias, exactly _score_candidates' scoring.
+    # _PRECISION (default HIGHEST) keeps candidate scores f32 like the
+    # generic path's `_score_candidates`, so margin-violator selection does
+    # not drift on bf16 MXU passes.
     preds = (
-        jnp.einsum("qsd,ksd->kqs", u1q, rp) + u[:, -1].reshape(1, Q, P)
+        jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=_PRECISION)
+        + u[:, -1].reshape(1, Q, P)
     ).reshape(K, B)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (K, Q, P)).reshape(K, B)
 
@@ -313,7 +333,7 @@ def warp_pool_step(
         jnp.float32
     )  # [K, B]
     nrep = jnp.einsum(
-        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp
+        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp, precision=_PRECISION
     ).reshape(B, W)
 
     # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
@@ -376,7 +396,7 @@ def bpr_pool_step(
         jnp.float32
     )
     nrep = jnp.einsum(
-        "kqs,ksd->qsd", onehot.reshape(T, Q, P), rp
+        "kqs,ksd->qsd", onehot.reshape(T, Q, P), rp, precision=_PRECISION
     ).reshape(B, W)
 
     u1 = with_unit_bias(u)

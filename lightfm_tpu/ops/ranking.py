@@ -361,11 +361,15 @@ def _ranks_fused(
     # Train-positive exclusion: subtract excluded items scoring >= ts.
     # Sentinel indices hit -inf pad rows and never count.  The chunk width
     # scales with Ptr so a wide (heavy-user) tier runs few sequential scan
-    # steps instead of Ptr/32 of them; memory per step stays bounded
-    # because wide tiers only ever contain few users (see
-    # _split_degree_tiers).
+    # steps instead of Ptr/32 of them — but each scan step materializes the
+    # [U, chunk, Wa] gather in HBM, so the width is also budgeted against
+    # the tier's user count (a small heavy tier gets wide chunks; an
+    # ML-25M-scale light tier with ~all test users degrades gracefully to
+    # narrow ones instead of OOMing).
     Ptr = train_idx.shape[1]
-    excl_chunk = min(512, _round_up(Ptr, 32))
+    row_bytes = u_aug.shape[0] * item_aug.shape[1] * 4
+    budget_cols = max(32, ((512 << 20) // max(1, row_bytes)) // 32 * 32)
+    excl_chunk = min(512, budget_cols, _round_up(Ptr, 32))
     p_pad = _round_up(Ptr, excl_chunk)
     tr = jnp.full((train_idx.shape[0], p_pad), i_pad - 1, train_idx.dtype)
     tr = tr.at[:, :Ptr].set(jnp.minimum(train_idx, i_pad - 1))
@@ -488,15 +492,28 @@ def _build_tier(test_csr, train_csr, users: np.ndarray, user_block: int):
     )
 
 
+def _csr_fingerprint(m) -> tuple:
+    """Cheap content checksum guarding identity-keyed caches against
+    in-place mutation of a caller's matrix (the O(nnz) numpy reductions are
+    negligible next to the host padding they guard)."""
+    if m.nnz == 0:
+        return (0.0, 0)
+    return (
+        float(np.add.reduce(m.data, dtype=np.float64)),
+        int(np.add.reduce(m.indices, dtype=np.int64)),
+    )
+
+
 def _prepare_rank_tiers(test_csr, train_csr, user_block: int, cache=None):
     """Tiered, device-staged rank inputs; memoized across metric calls.
 
     The cache key is the IDENTITY of the test/train matrices (weakref-
-    guarded against id reuse) plus shape/nnz — the standard per-epoch
-    evaluation loop passes the same matrices every call, so precision@k,
-    recall@k, auc and reciprocal_rank after the first call skip all host
-    padding and host->device transfer.  The prep depends only on the
-    matrices, never on model state.
+    guarded against id reuse) plus shape/nnz and a content checksum (so
+    in-place mutation between calls misses rather than returning stale
+    ranks) — the standard per-epoch evaluation loop passes the same
+    matrices every call, so precision@k, recall@k, auc and reciprocal_rank
+    after the first call skip all host padding and host->device transfer.
+    The prep depends only on the matrices, never on model state.
     """
     import weakref
 
@@ -505,6 +522,7 @@ def _prepare_rank_tiers(test_csr, train_csr, user_block: int, cache=None):
         key = (
             "rank_prep", id(test_csr), id(train_csr),
             test_csr.shape, test_csr.nnz, train_csr.nnz, user_block,
+            _csr_fingerprint(test_csr), _csr_fingerprint(train_csr),
         )
         hit = cache.get(key)
         if hit is not None:
@@ -522,6 +540,13 @@ def _prepare_rank_tiers(test_csr, train_csr, user_block: int, cache=None):
         if len(tier_users)
     ]
     if cache is not None:
+        # Evict entries for the same matrices with a stale checksum (the
+        # caller mutated them in place) so they don't accumulate.
+        for k in [
+            k for k in cache
+            if isinstance(k, tuple) and k[:3] == key[:3] and k != key
+        ]:
+            del cache[k]
         cache[key] = (weakref.ref(test_csr), weakref.ref(train_csr), tiers)
     return tiers
 

@@ -77,7 +77,12 @@ def choose_batch_size(n_examples: int, requested: Optional[int]) -> int:
     cap = 8192 if n_examples <= (1 << 19) else min(131072, n_examples // 40)
     target = max(1024, min(cap, n_examples // 64))
     # Round to a power of two for stable jit cache keys.
-    return 1 << (int(target) - 1).bit_length()
+    b = 1 << (int(target) - 1).bit_length()
+    # The round-up must not break the >= 40 optimizer-steps/epoch regime
+    # the large-batch accuracy floors were calibrated in.
+    if n_examples > (1 << 19) and n_examples // b < 40:
+        b >>= 1
+    return b
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "vconst", "wconst"))
@@ -329,6 +334,11 @@ def run_epochs(
     fast: bool = False,
 ) -> ModelState:
     """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
+    if hp.max_sampled == 0 and hp.loss in ("warp", "warp-kos"):
+        # Post-construction `model.max_sampled = 0`: the reference's
+        # sampling loop body never executes, so every epoch is an exact
+        # no-op (`tests/test_movielens.py:247-263`).
+        return state
 
     def body(state, seed):
         return (

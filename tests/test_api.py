@@ -202,6 +202,53 @@ def test_max_sampled_zero_rejected():
         LightFM(max_sampled=0)
 
 
+def test_max_sampled_zero_mutation_is_noop():
+    """The reference's suite reaches fit with max_sampled=0 by mutating the
+    attribute post-construction; every epoch must then be an exact no-op
+    (`tests/test_movielens.py:247-263`)."""
+    mat = _random_interactions()
+    model = LightFM(loss="warp", max_sampled=1, random_state=1)
+    model.fit(mat, epochs=1)  # initialise + one real epoch
+    before = np.array(model.item_embeddings, copy=True)
+    model.max_sampled = 0
+    model.fit_partial(mat, epochs=3)
+    assert (model.item_embeddings == before).all()
+
+
+def test_choose_batch_size_keeps_step_floor():
+    """Power-of-two round-up must not drop the >=40 optimizer-steps/epoch
+    regime the large-batch accuracy floors were calibrated in."""
+    from lightfm_tpu.train import choose_batch_size
+
+    for n in (600_000, 2**19 + 1, 1_000_000, 5_000_000, 50_000_000):
+        b = choose_batch_size(n, None)
+        assert b & (b - 1) == 0  # power of two
+        assert n // b >= 40, (n, b)
+
+
+def test_eval_cache_detects_inplace_mutation():
+    """In-place mutation of a caller's test matrix between metric calls must
+    produce fresh ranks, not a stale cache hit."""
+    from lightfm_tpu.evaluation import auc_score
+
+    mat = _random_interactions()
+    model = LightFM(random_state=1).fit(mat, epochs=2)
+    test = mat.tocsr().astype(np.float32)
+    float(auc_score(model, test).mean())  # populate the cache
+    # Move every test interaction to a different item IN PLACE (same nnz,
+    # same object identity — the exact pattern that used to hit stale).
+    n_items = test.shape[1]
+    test.indices = (test.indices + 1) % n_items
+    test.sort_indices()
+    ranks_mutated = model.predict_rank(test).tocsr()
+    fresh = sp.csr_matrix(
+        (test.data.copy(), test.indices.copy(), test.indptr.copy()),
+        shape=test.shape,
+    )
+    ranks_fresh = model.predict_rank(fresh).tocsr()
+    assert (ranks_mutated.data == ranks_fresh.data).all()
+
+
 def test_intersection_check():
     mat = _random_interactions()
     model = LightFM(random_state=1).fit(mat, epochs=1)

@@ -38,6 +38,13 @@ def planted():
     return _planted()
 
 
+@pytest.fixture(autouse=True)
+def _force_fast_path(monkeypatch):
+    """Eligibility defaults to TPU backends only; force it on so the CPU
+    suite exercises the fast path through the public fit API."""
+    monkeypatch.setattr(fw, "_MODE", "1")
+
+
 def test_eligibility_gate(planted):
     m = LightFM(loss="warp", no_components=64, random_state=10)
     m.fit(planted, epochs=1)

@@ -148,7 +148,10 @@ def test_movielens_warp_kos(ml):
 
 def test_movielens_warp_max_sampled_zero_is_noop(ml):
     train, test = ml
-    model = LightFM(learning_rate=0.05, max_sampled=0, loss="warp", random_state=SEED)
+    model = LightFM(learning_rate=0.05, max_sampled=1, loss="warp", random_state=SEED)
+    # The constructor rejects 0; the reference's test reaches fit with it by
+    # mutating the attribute afterwards — an exact no-op pass (:247-263).
+    model.max_sampled = 0
     model.fit_partial(train, epochs=1)
     _, _, a_tr, a_te = _metrics(model, train, test)
     assert a_tr < 0.55 and a_te < 0.55  # reference :254-263
