@@ -30,6 +30,7 @@ _STATE_FIELDS = ModelState._fields
 
 def save_model(model, path: str) -> None:
     """Serialize a fitted (or unfitted) LightFM model to ``path`` (.npz)."""
+    model._sync_mirrors()  # fold pending in-place edits of state views
     header = {
         "format_version": FORMAT_VERSION,
         "params": {

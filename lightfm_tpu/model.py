@@ -167,6 +167,14 @@ class LightFM:
         # recommend()'s catalog representations / compressed index, rebuilt
         # lazily whenever the model state changes.
         self._serving_cache: dict = {}
+        # Writable host mirrors of the fused state tables, handed out (as
+        # views) by the state-attribute getters so user code can edit
+        # embeddings IN PLACE like the reference's plain numpy attributes
+        # (`lightfm/lightfm.py:243-257`).  Keyed by ModelState field name;
+        # `_mirror_snaps` holds pristine copies used to detect edits at the
+        # next state-consuming call (`_sync_mirrors`).
+        self._host_mirrors: dict = {}
+        self._mirror_snaps: dict = {}
 
     def _hp(self, bpr_tries: int = 8) -> Hyperparams:
         return Hyperparams(
@@ -220,16 +228,61 @@ class LightFM:
             raise ValueError(
                 "You must fit the model before trying to obtain predictions."
             )
+        self._sync_mirrors()
 
     # The reference exposes its 12 state arrays as plain numpy attributes
-    # (`lightfm/lightfm.py:243-257`); we expose numpy views over the fused
-    # device tables, with setters that write through (used by tests and user
-    # code that surgically edits embeddings).
+    # (`lightfm/lightfm.py:243-257`) that user code edits in place (e.g.
+    # normalizing embeddings after training).  We hand out views over
+    # writable HOST MIRRORS of the fused device tables; edits are detected
+    # by snapshot comparison and pushed back to the device at the next
+    # state-consuming call (fit_partial/predict/predict_rank/recommend/
+    # representations/pickle).  Attribute ASSIGNMENT writes through
+    # immediately, as before.
+    def _mirror(self, attr):
+        m = self._host_mirrors.get(attr)
+        if m is None:
+            m = np.array(getattr(self._state, attr))  # writable host copy
+            self._host_mirrors[attr] = m
+            self._mirror_snaps[attr] = m.copy()
+        return m
+
+    def _drop_mirrors(self):
+        self._host_mirrors = {}
+        self._mirror_snaps = {}
+
+    def _sync_mirrors(self):
+        """Push in-place edits of handed-out state views back to the device.
+
+        Exact (bytewise snapshot compare, no checksum collisions); costs one
+        host-memory pass per mirrored table per call, and mirrors only exist
+        once a state attribute has been read since the last fit.  Under
+        multi-process execution the mirrors are per-host, so in-place edits
+        must be applied identically on every process (the same contract as
+        any replicated host input).
+        """
+        mirrors = getattr(self, "_host_mirrors", None)
+        if not mirrors or self._state is None:
+            return
+        for attr, m in mirrors.items():
+            if np.array_equal(m, self._mirror_snaps[attr]):
+                continue
+            orig = getattr(self._state, attr)
+            self._state = self._state._replace(
+                **{attr: jax.device_put(m, orig.sharding)}
+            )
+            self._mirror_snaps[attr] = m.copy()
+            # Representations changed: drop state-dependent serving entries.
+            self._serving_cache = {
+                k: v
+                for k, v in self._serving_cache.items()
+                if not (isinstance(k, tuple) and k and k[0] in ("index", "catalog"))
+            }
+
     def _get_field(self, name):
         if self._state is None:
             return None
         attr, kind = _FIELD_MAP[name]
-        arr = np.asarray(getattr(self._state, attr))
+        arr = self._mirror(attr)
         # Layout: [emb cols 0..D-1 | zero pad | bias col W-1] (lightfm_tpu.state).
         return arr[:, : self.no_components] if kind == "emb" else arr[:, -1]
 
@@ -238,6 +291,9 @@ class LightFM:
             return
         if self._state is None:
             raise ValueError("Cannot set model state before the model is fitted.")
+        # Fold any pending in-place edits first so assignment to one field
+        # does not silently discard edits made through another field's view.
+        self._sync_mirrors()
         attr, kind = _FIELD_MAP[name]
         table = getattr(self._state, attr)
         value = jnp.asarray(np.asarray(value, dtype=np.float32))
@@ -246,6 +302,10 @@ class LightFM:
         else:
             table = table.at[:, -1].set(value)
         self._state = self._state._replace(**{attr: table})
+        # The mirror (and any outstanding views of it) no longer reflects
+        # the device table; drop it so the next read re-mirrors.
+        self._host_mirrors.pop(attr, None)
+        self._mirror_snaps.pop(attr, None)
         self._serving_cache = {}
 
     # ------------------------------------------------------------------
@@ -495,6 +555,9 @@ class LightFM:
         verbose=False,
     ):
         """Fit the model, resuming from the current state if already fitted."""
+        # Fold pending in-place edits of handed-out state views into the
+        # device state so a warm re-fit resumes from what the user sees.
+        self._sync_mirrors()
         interactions = interactions.tocoo()
         if interactions.dtype != CYTHON_DTYPE:
             interactions.data = interactions.data.astype(CYTHON_DTYPE)
@@ -602,6 +665,10 @@ class LightFM:
 
         # Throughput counter (the _check_finite sync makes wall time honest).
         self.fit_stats_ = stats.finish()
+        # Training moved the device state; outstanding host mirrors (and any
+        # views of them) are snapshots of the PRE-fit state and must not
+        # sync back over the new tables.
+        self._drop_mirrors()
         # Drop state-DEPENDENT cache entries (serving index / staged catalog
         # representations).  The identity-keyed host prep (padded features,
         # converted CSRs, rank tiers) depends only on the input matrices and
@@ -942,7 +1009,10 @@ class LightFM:
     # ------------------------------------------------------------------
 
     def __getstate__(self):
+        self._sync_mirrors()  # pickle what the user sees, edits included
         d = dict(self.__dict__)
+        d.pop("_host_mirrors", None)  # host-side caches; rebuilt on demand
+        d.pop("_mirror_snaps", None)
         state = d.pop("_state")
         d.pop("mesh", None)  # device handles are not picklable
         d.pop("_serving_cache", None)  # rebuildable device buffers
@@ -967,6 +1037,8 @@ class LightFM:
         self.__dict__.setdefault("mesh", None)
         self.__dict__.setdefault("example_shuffle", "global")
         self.__dict__.setdefault("_serving_cache", {})
+        self.__dict__["_host_mirrors"] = {}
+        self.__dict__["_mirror_snaps"] = {}
         if state_np is None:
             self._state = None
             return

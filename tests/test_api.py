@@ -202,6 +202,62 @@ def test_max_sampled_zero_rejected():
         LightFM(max_sampled=0)
 
 
+def test_state_views_support_inplace_mutation():
+    """The reference's state attributes are plain numpy arrays users edit in
+    place (`lightfm/lightfm.py:243-257`); in-place edits through our views
+    must be visible to subsequent predictions."""
+    n_users, n_items = 10, 15
+    mat = _random_interactions(n_users, n_items, 60, seed=5)
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    model.item_embeddings[:] = 0
+    model.user_embeddings[:] = 0
+    model.item_biases[:] = 0
+    model.user_biases[:] = 0
+    full = sp.csr_matrix(
+        (np.ones(n_items, np.float32), (np.zeros(n_items, int), np.arange(n_items))),
+        shape=(n_users, n_items),
+    )
+    ranks = model.predict_rank(full).tocsr()
+    # Zeroed model scores everything identically -> pessimistic max rank.
+    assert (ranks.data == n_items - 1).all()
+    # Reads after the sync see the edited values, not stale mirrors.
+    assert (model.item_embeddings == 0).all()
+
+
+def test_inplace_mutation_survives_pickle_and_warm_fit():
+    mat = _random_interactions(seed=3)
+    model = LightFM(loss="warp", random_state=2).fit(mat, epochs=2)
+    emb = model.item_embeddings
+    emb *= 0.5  # in-place scale through the view
+    expected = np.array(emb, copy=True)
+    clone = pickle.loads(pickle.dumps(model))
+    assert np.array_equal(clone.item_embeddings, expected)
+    # A warm re-fit resumes FROM the edited state: with 0 epochs the edit is
+    # exactly preserved on the device tables.
+    model.fit_partial(mat, epochs=0)
+    assert np.array_equal(model.item_embeddings, expected)
+    # Views handed out before a real fit are snapshots: training must not
+    # be overwritten by stale mirror contents afterwards.
+    stale = model.item_embeddings
+    model.fit_partial(mat, epochs=1)
+    trained = np.array(model.item_embeddings, copy=True)
+    stale[:] = -1.0
+    assert np.array_equal(model.item_embeddings, trained)
+    float(model.predict(np.arange(3), np.arange(3)).sum())  # no sync-back
+    assert np.array_equal(model.item_embeddings, trained)
+
+
+def test_field_assignment_folds_pending_view_edits():
+    """Assigning one state field must not discard in-place edits made through
+    another field's view beforehand."""
+    mat = _random_interactions(seed=4)
+    model = LightFM(random_state=2).fit(mat, epochs=1)
+    model.item_embeddings[:] = 3.0  # pending in-place edit (same table)
+    model.user_biases = np.zeros_like(model.user_biases)  # assignment
+    assert (model.item_embeddings == 3.0).all()
+    assert (model.user_biases == 0).all()
+
+
 def test_max_sampled_zero_mutation_is_noop():
     """The reference's suite reaches fit with max_sampled=0 by mutating the
     attribute post-construction; every epoch must then be an exact no-op
