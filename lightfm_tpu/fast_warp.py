@@ -89,17 +89,28 @@ def _enabled() -> bool:
 # gather per step; whether that beats the XLA scatter is size-dependent
 # (see bench).  Default on for TPU; env-overridable for A/B.
 _USER_PALLAS = os.environ.get("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "1") == "1"
+# Pallas pool kernels (ops/pallas_pool): score/select/fold against a
+# VMEM-resident pool instead of materializing K rolled [P, W] copies and
+# re-reading u1 per rotation through einsums.  Interpret-validated;
+# OPT-IN until A/B-measured on real TPU hardware.
+_POOL_KERNELS = os.environ.get("LIGHTFM_TPU_POOL_KERNELS", "0") == "1"
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("LIGHTFM_TPU_FAST_WARP_PRECISION", "highest")]
 
 
-def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int) -> bool:
+def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int):
     """Static gate for the specialised path (trace-time decision).
 
     Covers WARP and BPR (both pairwise losses share the pool/sort
     machinery; BPR's pool is drawn from the empirical item distribution).
+
+    Returns the MODE the epoch should run in — ``False`` (generic path),
+    ``"einsum"`` (rolled-copy XLA formulation) or ``"kernels"`` (Pallas
+    pool kernels) — which flows into the jitted epoch as part of the
+    static ``fast`` argument, so flipping the kernel gate retraces instead
+    of silently reusing the other mode's executable.
     """
     if not _enabled():
         return False
@@ -127,7 +138,9 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
         return False
     from lightfm_tpu.state import table_width
 
-    return W * table_width(hp.no_components) >= MIN_TABLE_ELEMS
+    if W * table_width(hp.no_components) < MIN_TABLE_ELEMS:
+        return False
+    return "kernels" if _POOL_KERNELS else "einsum"
 
 
 def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
@@ -196,42 +209,32 @@ def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool):
     return table, acc
 
 
-def _pool_rolls(table, pool_ids, shifts, K: int):
-    """K rotated views of the pool's reps and ids ([K, P, W], [K, P])."""
-    pool_reps = table[pool_ids]
-    rp = jnp.stack([jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)])
-    rids = jnp.stack([jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)])
-    return rp, rids
+def _roll_ids(pool_ids, shifts, K: int):
+    """K rotated views of the pool's ids ([K, P]; tiny)."""
+    return jnp.stack([jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)])
 
 
-def _apply_pool_updates(
-    state: ModelState,
-    uid, pos_ids, gi, gu, suid, sigma,
-    pool_ids, sel, u1q, shifts,
-    lr: float, use_pallas: bool, user_pallas: bool,
-):
-    """Shared fast-path update pass (positive pair / pool negatives / user).
+def _rolled_reps(pool_reps, shifts, K: int):
+    """K rotated copies of the pool's reps ([K, P, W]) — the einsum path's
+    materialization, skipped entirely by the Pallas pool kernels."""
+    return jnp.stack([jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)])
 
-    ``sel[k, b]`` is the gradient weight of rolled candidate ``k`` of
-    example ``b`` (the example's loss where selected, 0 elsewhere);
-    ``gi``/``gu`` are the [B, W] positive-item and user gradients in
-    losses._apply_pairwise's fused [emb | bias] layout.
 
-    Update order within the step: positive items (pre-step accumulator),
-    pool negatives (post-positive accumulator), users (pre-step
-    accumulator) — batched updates commute within each group, and the
-    cross-group staleness is the same class the synchronous batching
-    already introduces.
-    """
+def _nrep_einsum(onehot, rp, Q: int, P: int):
+    """Selected-candidate reps via one-hot contraction over rolled copies."""
+    K = rp.shape[0]
+    W = rp.shape[2]
+    return jnp.einsum(
+        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp, precision=_PRECISION
+    ).reshape(Q * P, W)
+
+
+def _fold_gp_einsum(sel, u1q, shifts):
+    """Pool-space gradient fold via einsums over rolled copies: returns
+    (gp, gp2) [P, W] — sum of sel-weighted u1 (and sel^2-weighted u1^2)
+    at each candidate's pool slot."""
     K = sel.shape[0]
     Q, P, W = u1q.shape
-
-    # --- item table: positive pairs (ids already sorted) ----------------
-    item_table, item_acc = _sorted_update(
-        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas
-    )
-
-    # --- item table: pool negatives (P-row scatter) ---------------------
     selq = sel.reshape(K, Q, P)
     sel2q = (sel * sel).reshape(K, Q, P)
     # _PRECISION (default HIGHEST) keeps these contractions f32 on the MXU,
@@ -246,6 +249,55 @@ def _apply_pool_updates(
     for k in range(K):  # fold rotations back to pool slots
         gp = gp + jnp.roll(g_roll[k], shifts[k], axis=0)
         gp2 = gp2 + jnp.roll(g2_roll[k], shifts[k], axis=0)
+    return gp, gp2
+
+
+def _fold_gp_kernels(u1, lossm, j, shifts, P: int, pool_reps=None, *, interpret):
+    """Pool-space gradient fold (+ selected-rep gather when ``pool_reps``
+    is given) via the Pallas pool kernels — no rolled copies, u1 streamed
+    once per fold."""
+    from lightfm_tpu.ops.pallas_pool import pool_fold_pallas
+
+    nrep = None
+    if pool_reps is not None:
+        gp, nrep = pool_fold_pallas(
+            u1, lossm, j, shifts, n_slots=P, pool=pool_reps, interpret=interpret
+        )
+    else:
+        gp = pool_fold_pallas(
+            u1, lossm, j, shifts, n_slots=P, interpret=interpret
+        )
+    gp2 = pool_fold_pallas(
+        u1 * u1, lossm * lossm, j, shifts, n_slots=P, interpret=interpret
+    )
+    return gp, gp2, nrep
+
+
+def _apply_pool_updates(
+    state: ModelState,
+    uid, pos_ids, gi, gu, suid, sigma,
+    pool_ids, gp, gp2,
+    lr: float, use_pallas: bool, user_pallas: bool,
+):
+    """Shared fast-path update pass (positive pair / pool negatives / user).
+
+    ``gp``/``gp2`` are the pool-space [P, W] folded negative gradients
+    (and squared gradients) from `_fold_gp_einsum`/`_fold_gp_kernels`;
+    ``gi``/``gu`` are the [B, W] positive-item and user gradients in
+    losses._apply_pairwise's fused [emb | bias] layout.
+
+    Update order within the step: positive items (pre-step accumulator),
+    pool negatives (post-positive accumulator), users (pre-step
+    accumulator) — batched updates commute within each group, and the
+    cross-group staleness is the same class the synchronous batching
+    already introduces.
+    """
+    # --- item table: positive pairs (ids already sorted) ----------------
+    item_table, item_acc = _sorted_update(
+        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas
+    )
+
+    # --- item table: pool negatives (P-row scatter) ---------------------
     lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
     item_table = item_table.at[pool_ids].add(-(lrp * gp))
     item_acc = item_acc.at[pool_ids].add(gp2)
@@ -282,6 +334,7 @@ def warp_pool_step(
     n_items: int,
     use_pallas: bool,
     user_pallas: bool,
+    pool_kernels: bool = False,
 ) -> ModelState:
     """One fast-path WARP step over an ITEM-SORTED batch.
 
@@ -302,20 +355,33 @@ def warp_pool_step(
 
     pool_ids = jax.random.randint(kp, (P,), 0, n_items, dtype=jnp.int32)
     shifts = jax.random.randint(kr, (K,), 0, P, dtype=jnp.int32)
-    rp, rids = _pool_rolls(state.item_table, pool_ids, shifts, K)
+    pool_reps = state.item_table[pool_ids]  # [P, W]
+    rids = _roll_ids(pool_ids, shifts, K)
 
     u1 = with_unit_bias(u)  # [B, W]
     pos_pred = score_pairs(u, prep)  # [B]
-    u1q = u1.reshape(Q, P, W)
+    kern_interp = not use_pallas  # CPU/GPU backends: interpret the kernels
     # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
     # trick) + user_bias, exactly _score_candidates' scoring.
     # _PRECISION (default HIGHEST) keeps candidate scores f32 like the
     # generic path's `_score_candidates`, so margin-violator selection does
-    # not drift on bf16 MXU passes.
-    preds = (
-        jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=_PRECISION)
-        + u[:, -1].reshape(1, Q, P)
-    ).reshape(K, B)
+    # not drift on bf16 MXU passes.  The Pallas kernel path computes the
+    # same dots as exact f32 VPU multiply-reduces against the VMEM-resident
+    # pool — no [K, P, W] rolled materialization, u1 read once.
+    if pool_kernels:
+        from lightfm_tpu.ops.pallas_pool import pool_scores_pallas
+
+        preds = (
+            pool_scores_pallas(u1, pool_reps, shifts, interpret=kern_interp)
+            + u[None, :, -1]
+        )
+    else:
+        rp = _rolled_reps(pool_reps, shifts, K)
+        u1q = u1.reshape(Q, P, W)
+        preds = (
+            jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=_PRECISION)
+            + u[:, -1].reshape(1, Q, P)
+        ).reshape(K, B)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (K, Q, P)).reshape(K, B)
 
     violates = preds > pos_pred[None, :] - 1.0  # template:875
@@ -329,20 +395,24 @@ def warp_pool_step(
     upd = batch.valid & (batch.y > 0) & found  # template:831
     lossm = jnp.where(upd, loss, 0.0)  # [B]; masked examples are exact no-ops
 
-    onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
-        jnp.float32
-    )  # [K, B]
-    nrep = jnp.einsum(
-        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp, precision=_PRECISION
-    ).reshape(B, W)
+    if pool_kernels:
+        gp, gp2, nrep = _fold_gp_kernels(
+            u1, lossm, j, shifts, P, pool_reps, interpret=kern_interp
+        )
+    else:
+        onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
+            jnp.float32
+        )  # [K, B]
+        nrep = _nrep_einsum(onehot, rp, Q, P)
+        sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
+        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts)
 
     # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
     gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
     gu = lossm[:, None] * with_unit_bias(nrep - prep)  # [B, W]
-    sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
 
     return _apply_pool_updates(
-        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, sel, u1q, shifts,
+        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas,
     )
 
@@ -360,6 +430,7 @@ def bpr_pool_step(
     n_items: int,
     use_pallas: bool,
     user_pallas: bool,
+    pool_kernels: bool = False,
 ) -> ModelState:
     """One fast-path BPR step over an ITEM-SORTED batch.
 
@@ -387,38 +458,65 @@ def bpr_pool_step(
         jax.random.randint(kp, (P,), 0, n_examples, dtype=jnp.int32)
     ]
     shifts = jax.random.randint(kr, (T,), 0, P, dtype=jnp.int32)
-    rp, rids = _pool_rolls(state.item_table, pool_ids, shifts, T)
+    pool_reps = state.item_table[pool_ids]
+    rids = _roll_ids(pool_ids, shifts, T)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (T, Q, P)).reshape(T, B)
 
     ok = ~in_positives_slots(positives, uid, cand_ids)  # [T, B]
     j = jnp.where(ok.any(axis=0), jnp.argmax(ok, axis=0), T - 1)
-    onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
-        jnp.float32
-    )
-    nrep = jnp.einsum(
-        "kqs,ksd->qsd", onehot.reshape(T, Q, P), rp, precision=_PRECISION
-    ).reshape(B, W)
-
     u1 = with_unit_bias(u)
-    u1q = u1.reshape(Q, P, W)
+    kern_interp = not use_pallas
+    if pool_kernels:
+        # BPR needs nrep BEFORE the loss exists (the loss is a function of
+        # the chosen negative's score), so the selected-rep gather runs
+        # standalone and the gradient fold follows the loss.
+        from lightfm_tpu.ops.pallas_pool import pool_select_pallas
+
+        nrep = pool_select_pallas(
+            pool_reps, j, shifts, n_examples=B, interpret=kern_interp
+        )
+    else:
+        rp = _rolled_reps(pool_reps, shifts, T)
+        u1q = u1.reshape(Q, P, W)
+        onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
+            jnp.float32
+        )
+        nrep = _nrep_einsum(onehot, rp, Q, P)
+
     pos_pred = score_pairs(u, prep)
     neg_pred = score_pairs(u, nrep)
     loss = batch.weight * (1.0 - jax.nn.sigmoid(pos_pred - neg_pred))  # :1158
     upd = batch.valid & (batch.y > 0)  # template:1116
     lossm = jnp.where(upd, loss, 0.0)
 
+    if pool_kernels:
+        gp, gp2, _ = _fold_gp_kernels(
+            u1, lossm, j, shifts, P, interpret=kern_interp
+        )
+    else:
+        sel = onehot * lossm[None, :]
+        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts)
+
     gi = lossm[:, None] * u1
     gu = lossm[:, None] * with_unit_bias(nrep - prep)
-    sel = onehot * lossm[None, :]
 
     return _apply_pool_updates(
-        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, sel, u1q, shifts,
+        state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas,
     )
 
 
-def fast_epoch(state: ModelState, data, key, hp: Hyperparams, batch_size: int):
-    """One fast-path epoch: triple-sort shuffle + scan over sorted batches."""
+def fast_epoch(
+    state: ModelState, data, key, hp: Hyperparams, batch_size: int,
+    mode="einsum",
+):
+    """One fast-path epoch: triple-sort shuffle + scan over sorted batches.
+
+    ``mode`` is the static value from `fast_warp_eligible`: ``"kernels"``
+    runs the Pallas pool kernels, anything else truthy the rolled-einsum
+    formulation (``True`` from older callers behaves like "einsum").
+    """
+    pool_kernels = mode == "kernels"
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size
     kperm, kbatch = jax.random.split(key)
@@ -437,13 +535,13 @@ def fast_epoch(state: ModelState, data, key, hp: Hyperparams, batch_size: int):
             state = bpr_pool_step(
                 state, batch, data.positives, data.train_items, su, sg, hp,
                 bkey, n_items=n_items, use_pallas=use_pallas,
-                user_pallas=_USER_PALLAS,
+                user_pallas=_USER_PALLAS, pool_kernels=pool_kernels,
             )
         else:
             state = warp_pool_step(
                 state, batch, data.positives, su, sg, hp, bkey,
                 n_items=n_items, use_pallas=use_pallas,
-                user_pallas=_USER_PALLAS,
+                user_pallas=_USER_PALLAS, pool_kernels=pool_kernels,
             )
         return state, None
 

@@ -258,14 +258,17 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global", fast=False)
     replicated or row-sharded tables become XLA collectives under GSPMD.
     ``shuffle="local"`` keeps the permutation within each data-axis shard
     (see :func:`_shuffle_local`) for host-sharded example blocks.
-    ``fast=True`` (callers decide via `fast_warp.fast_warp_eligible`; it is
-    part of the jit cache key) takes the specialised WARP path — pool
-    negatives + item-sorted batches + sorted Pallas updates.
+    A truthy ``fast`` (callers decide via `fast_warp.fast_warp_eligible`;
+    it is part of the jit cache key) takes the specialised WARP path —
+    pool negatives + item-sorted batches + sorted Pallas updates.  Its
+    value is the MODE: ``"kernels"`` additionally swaps the pool einsums
+    for the Pallas pool kernels; ``"einsum"``/``True`` keep the rolled
+    XLA formulation.
     """
     if fast:
         from lightfm_tpu.fast_warp import fast_epoch
 
-        return fast_epoch(state, data, key, hp, batch_size)
+        return fast_epoch(state, data, key, hp, batch_size, mode=fast)
 
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size
@@ -315,7 +318,7 @@ def run_epoch(
     batch_size: int,
     mesh=None,
     shuffle: str = "global",
-    fast: bool = False,
+    fast=False,  # False | True/"einsum" | "kernels" (static; see _epoch)
 ) -> ModelState:
     return _epoch(state, data, key, hp, batch_size, mesh, shuffle, fast)
 
@@ -331,7 +334,7 @@ def run_epochs(
     batch_size: int,
     mesh=None,
     shuffle: str = "global",
-    fast: bool = False,
+    fast=False,  # False | True/"einsum" | "kernels" (static; see _epoch)
 ) -> ModelState:
     """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
     if hp.max_sampled == 0 and hp.loss in ("warp", "warp-kos"):

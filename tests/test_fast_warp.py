@@ -171,6 +171,26 @@ def test_bpr_fast_matches_generic_statistically(planted):
     assert aucs[True] > aucs[False] - 0.02, aucs
 
 
+def test_pool_kernels_match_einsum_path_statistically(planted):
+    """LIGHTFM_TPU_POOL_KERNELS swaps the rolled-einsum scoring/fold for
+    the Pallas pool kernels (interpreted off-TPU); same seeds must land at
+    the same statistical quality for both pairwise losses."""
+    train_csr = planted.tocsr()
+    for loss, epochs, floor in (("warp", 5, 0.95), ("bpr", 20, 0.95)):
+        m = LightFM(loss=loss, no_components=64, random_state=10)
+        m.fit(planted, epochs=0)
+        data = m._staged_train_data
+        hp, bs = m._staged_hp, m._staged_batch_size
+        seeds = jnp.arange(epochs, dtype=jnp.uint32)
+        init = m._state
+        aucs = {}
+        for mode in ("einsum", "kernels"):
+            m._state = run_epochs(init, data, seeds, hp, bs, fast=mode)
+            aucs[mode] = float(auc_score(m, train_csr).mean())
+        assert aucs["kernels"] > floor, (loss, aucs)
+        assert aucs["kernels"] > aucs["einsum"] - 0.02, (loss, aucs)
+
+
 def test_bpr_eligibility(planted):
     m = LightFM(loss="bpr", no_components=64, random_state=10)
     m.fit(planted, epochs=1)
