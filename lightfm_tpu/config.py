@@ -58,7 +58,7 @@ class Hyperparams:
         # (`tests/test_movielens.py:247-263`), so only negatives are invalid
         # here.
         if self.max_sampled < 0:
-            raise ValueError("max_sampled must be a positive integer")
+            raise ValueError("max_sampled must be non-negative")
 
     @property
     def adadelta(self) -> bool:

@@ -388,20 +388,13 @@ class LightFM:
 
     @staticmethod
     def _content_fingerprint(m) -> tuple:
-        """Cheap content checksum for a scipy matrix, guarding the
-        identity-keyed memos below against in-place mutation of a caller's
-        matrix between calls (the O(nnz) reductions are negligible next to
-        the host prep they guard)."""
-        parts = [getattr(m, "shape", None), getattr(m, "nnz", None)]
-        data = getattr(m, "data", None)
-        if data is not None and np.size(data):
-            parts.append(float(np.add.reduce(data, dtype=np.float64)))
-        idx = getattr(m, "indices", None)
-        if idx is None:
-            idx = getattr(m, "col", None)
-        if idx is not None and np.size(idx):
-            parts.append(int(np.add.reduce(idx, dtype=np.int64)))
-        return tuple(parts)
+        """CRC32-based content checksum for a scipy matrix (see
+        `sparse.content_fingerprint`) guarding the identity-keyed memos
+        below against in-place mutation of a caller's matrix — including
+        sum-preserving edits like swapping two entries."""
+        from lightfm_tpu.sparse import content_fingerprint
+
+        return content_fingerprint(m)
 
     def _memo_by_identity(self, kind: str, obj, build):
         """Memoize ``build(obj)`` in the serving cache keyed by ``obj``'s
@@ -420,6 +413,13 @@ class LightFM:
             if ref() is obj:
                 return val
         val = build(obj)
+        if val is obj:
+            # Identity build (e.g. the input was already CSR/float32):
+            # nothing to memoize, and caching would make the entry
+            # immortal — the cache's strong reference to ``val`` would keep
+            # the weakref alive forever, so the dead-entry sweep could
+            # never evict it.
+            return val
         try:
             entry = (weakref.ref(obj), val)
         except TypeError:  # non-weakref-able input; skip caching
@@ -441,6 +441,17 @@ class LightFM:
             if stale_same or dead:
                 del self._serving_cache[k]
         self._serving_cache[key] = entry
+        # Hard cap as a backstop for callers that stream fresh LIVE
+        # matrices through every call (nothing is dead to sweep then):
+        # evict the oldest weakref-carrying entries beyond the cap so the
+        # cache cannot pin host matrices / device tiers without bound.
+        live = [
+            k
+            for k, v in self._serving_cache.items()
+            if isinstance(v, tuple) and v and isinstance(v[0], weakref.ref)
+        ]
+        for k in live[: max(0, len(live) - 64)]:
+            del self._serving_cache[k]
         return val
 
     def _pad_features_cached(self, csr):

@@ -493,15 +493,12 @@ def _build_tier(test_csr, train_csr, users: np.ndarray, user_block: int):
 
 
 def _csr_fingerprint(m) -> tuple:
-    """Cheap content checksum guarding identity-keyed caches against
-    in-place mutation of a caller's matrix (the O(nnz) numpy reductions are
-    negligible next to the host padding they guard)."""
-    if m.nnz == 0:
-        return (0.0, 0)
-    return (
-        float(np.add.reduce(m.data, dtype=np.float64)),
-        int(np.add.reduce(m.indices, dtype=np.int64)),
-    )
+    """Content checksum guarding identity-keyed caches against in-place
+    mutation of a caller's matrix (shared CRC32 scheme — catches
+    sum-preserving edits like swapping entries between rows)."""
+    from lightfm_tpu.sparse import content_fingerprint
+
+    return content_fingerprint(m)
 
 
 def _prepare_rank_tiers(test_csr, train_csr, user_block: int, cache=None):
@@ -541,13 +538,29 @@ def _prepare_rank_tiers(test_csr, train_csr, user_block: int, cache=None):
     ]
     if cache is not None:
         # Evict entries for the same matrices with a stale checksum (the
-        # caller mutated them in place) so they don't accumulate.
+        # caller mutated them in place), and any rank_prep entries whose
+        # matrices are gone — dead entries would otherwise pin their
+        # device-resident tier arrays until an unrelated cache miss.
         for k in [
-            k for k in cache
-            if isinstance(k, tuple) and k[:3] == key[:3] and k != key
+            k for k, v in cache.items()
+            if (isinstance(k, tuple) and k[:3] == key[:3] and k != key)
+            or (
+                isinstance(k, tuple) and k and k[0] == "rank_prep"
+                and isinstance(v, tuple) and len(v) == 3
+                and isinstance(v[0], weakref.ref)
+                and (v[0]() is None or v[1]() is None)
+            )
         ]:
             del cache[k]
         cache[key] = (weakref.ref(test_csr), weakref.ref(train_csr), tiers)
+        # Cap LIVE entries too: a caller streaming fresh (still-referenced)
+        # matrices through every metric call would otherwise accumulate
+        # device-resident tiers without bound.  Insertion order = age.
+        prep_keys = [
+            k for k in cache if isinstance(k, tuple) and k and k[0] == "rank_prep"
+        ]
+        for k in prep_keys[: max(0, len(prep_keys) - 16)]:
+            del cache[k]
     return tiers
 
 

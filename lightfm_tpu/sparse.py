@@ -24,6 +24,30 @@ import jax
 import jax.numpy as jnp
 
 
+def content_fingerprint(m) -> tuple:
+    """Content checksum of a scipy matrix for identity-keyed caches.
+
+    Guards memoized host prep against in-place mutation of a caller's
+    matrix between calls: CRC32 over the raw bytes of ``data`` and
+    ``indices`` (or COO ``col``), so position swaps and compensating edits
+    miss the cache instead of returning stale results (a plain sum would
+    not catch them).  One ~GB/s pass over nnz-sized arrays — negligible
+    next to the padding + host->device staging it guards.
+    """
+    import zlib
+
+    parts = [getattr(m, "shape", None), getattr(m, "nnz", None)]
+    data = getattr(m, "data", None)
+    if data is not None and np.size(data):
+        parts.append(zlib.crc32(np.ascontiguousarray(data).view(np.uint8)))
+    idx = getattr(m, "indices", None)
+    if idx is None:
+        idx = getattr(m, "col", None)
+    if idx is not None and np.size(idx):
+        parts.append(zlib.crc32(np.ascontiguousarray(idx).view(np.uint8)))
+    return tuple(parts)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

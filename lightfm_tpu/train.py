@@ -265,6 +265,13 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global", fast=False)
     for the Pallas pool kernels; ``"einsum"``/``True`` keep the rolled
     XLA formulation.
     """
+    if hp.max_sampled == 0 and hp.loss in ("warp", "warp-kos"):
+        # Post-construction `model.max_sampled = 0`: the reference's
+        # sampling loop body never executes, so every epoch is an exact
+        # no-op (`tests/test_movielens.py:247-263`).  Guarded HERE so the
+        # verbose per-epoch path and the fast path (whose K=0 shapes would
+        # not even trace) behave identically to run_epochs' early return.
+        return state
     if fast:
         from lightfm_tpu.fast_warp import fast_epoch
 

@@ -269,6 +269,10 @@ def test_max_sampled_zero_mutation_is_noop():
     model.max_sampled = 0
     model.fit_partial(mat, epochs=3)
     assert (model.item_embeddings == before).all()
+    # The verbose per-epoch dispatch path must be the same exact no-op
+    # (it goes through run_epoch, not run_epochs' early return).
+    model.fit_partial(mat, epochs=2, verbose=True)
+    assert (model.item_embeddings == before).all()
 
 
 def test_choose_batch_size_keeps_step_floor():
@@ -303,6 +307,50 @@ def test_eval_cache_detects_inplace_mutation():
     )
     ranks_fresh = model.predict_rank(fresh).tocsr()
     assert (ranks_mutated.data == ranks_fresh.data).all()
+
+
+def test_eval_cache_detects_sum_preserving_mutation():
+    """A swap of two interactions between users preserves nnz and the data/
+    indices SUMS — the CRC fingerprint must still miss the cache."""
+    from lightfm_tpu.evaluation import auc_score
+
+    mat = _random_interactions(n_users=20, n_items=30, nnz=80, seed=9)
+    model = LightFM(random_state=1).fit(mat, epochs=2)
+    test = mat.tocsr().astype(np.float32)
+    float(auc_score(model, test).mean())  # populate the cache
+    # Swap the first stored item of user 0 with the first of user 1 IN
+    # PLACE: indices sum unchanged, data all-ones unchanged.
+    i0, i1 = test.indptr[0], test.indptr[1]
+    a, b = test.indices[i0], test.indices[i1]
+    if a == b:  # ensure the swap changes content
+        test.indices[i1] = (b + 1) % test.shape[1]
+        b = test.indices[i1]
+    test.indices[i0], test.indices[i1] = b, a
+    test.sort_indices()
+    ranks_mutated = model.predict_rank(test).tocsr()
+    fresh = sp.csr_matrix(
+        (test.data.copy(), test.indices.copy(), test.indptr.copy()),
+        shape=test.shape,
+    )
+    ranks_fresh = model.predict_rank(fresh).tocsr()
+    assert (ranks_mutated.data == ranks_fresh.data).all()
+
+
+def test_serving_cache_bounded_under_streaming_matrices():
+    """Streaming a fresh live test matrix through every metric call must not
+    grow the serving cache without bound (weakref entries stay dead-free
+    because each build may return the input object itself)."""
+    from lightfm_tpu.evaluation import auc_score
+
+    mat = _random_interactions(n_users=15, n_items=20, nnz=60, seed=2)
+    model = LightFM(random_state=1).fit(mat, epochs=1)
+    kept = []
+    for s in range(90):
+        t = _random_interactions(n_users=15, n_items=20, nnz=40, seed=100 + s)
+        t = t.tocsr().astype(np.float32)
+        kept.append(t)  # keep alive: worst case for the sweep
+        float(auc_score(model, t).mean())
+    assert len(model._serving_cache) < 60, len(model._serving_cache)
 
 
 def test_intersection_check():
