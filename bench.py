@@ -325,7 +325,49 @@ def _bench_serving(model, train, detail):
     detail["topk_qps"] = round(len(uid) / topk_s, 1)
 
 
+def _device_available(timeout_s: int = 180) -> bool:
+    """Probe device-backend liveness in a SUBPROCESS with a timeout.
+
+    When the TPU tunnel is down, any backend call hangs forever with no
+    error; probing in-process would hang the whole bench.  A dead probe
+    means the bench emits an explicit device-unavailable record instead of
+    hanging until the harness kills it.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_available():
+        print(
+            json.dumps(
+                {
+                    "metric": "warp_examples_per_sec",
+                    "value": 0.0,
+                    "unit": "examples/s",
+                    "vs_baseline": 0.0,
+                    "detail": {
+                        "device_unavailable": True,
+                        "note": (
+                            "device backend init did not respond within the "
+                            "probe timeout (TPU tunnel down?); no numbers "
+                            "were measured"
+                        ),
+                    },
+                }
+            )
+        )
+        return
+
     from lightfm_tpu import LightFM
     from lightfm_tpu.evaluation import precision_at_k
 
