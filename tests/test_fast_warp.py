@@ -191,6 +191,23 @@ def test_pool_kernels_match_einsum_path_statistically(planted):
         assert aucs["kernels"] > aucs["einsum"] - 0.02, (loss, aucs)
 
 
+def test_pool_kernels_deterministic(planted):
+    """Same seed, kernels mode: bitwise-equal tables across runs (the
+    reference's `test_random_state_fixing` contract holds in every mode)."""
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0)
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(3, dtype=jnp.uint32)
+    runs = [
+        np.asarray(
+            run_epochs(m._state, data, seeds, hp, bs, fast="kernels").item_table
+        )
+        for _ in range(2)
+    ]
+    assert (runs[0] == runs[1]).all()
+
+
 def test_bpr_eligibility(planted):
     m = LightFM(loss="bpr", no_components=64, random_state=10)
     m.fit(planted, epochs=1)
