@@ -297,6 +297,12 @@ def _bench_large_scale(detail):
         "config": "5M-interactions-200kx100k-D64-batch131072",
         "losses": out,
         "cpu32_linear_estimate_examples_per_sec": round(_REF_CPU32_D64_ESTIMATE),
+        # BASELINE.md's >10x north star names ONE v5p CHIP (2765 GB/s HBM,
+        # 459 bf16 TFLOPs); this harness runs on whatever chip the driver
+        # exposes (v5e = 819 GB/s, 197 TFLOPs).  The per-loss roofline
+        # fields quantify how bandwidth-bound each loss is on the measured
+        # device; no cross-device projection is applied to any number.
+        "north_star_hardware": "1x v5p (BASELINE.md)",
     }
 
 
@@ -315,14 +321,17 @@ def _bench_serving(model, train, detail):
     detail["predict_rank_users_per_sec"] = round(n_users / rank_s, 1)
     detail["auc_train"] = round(auc, 4)
 
-    # Retrieval QPS (approx_max_k + exact rerank).
+    # Retrieval QPS — both north-star paths (BASELINE.md): full dot-product
+    # scoring ("approx" = approx_max_k over exact f32 scores + rerank) and
+    # ANN-style two-stage scoring ("compressed" = int8 coarse + f32 rerank).
     uid = np.arange(min(n_users, 512), dtype=np.int32)
-    _ = model.recommend(uid, k=10, mode="approx")  # compile
-    t0 = time.perf_counter()
-    for _i in range(5):
-        _ = model.recommend(uid, k=10, mode="approx")
-    topk_s = (time.perf_counter() - t0) / 5
-    detail["topk_qps"] = round(len(uid) / topk_s, 1)
+    for mode, field in (("approx", "topk_qps"), ("compressed", "topk_compressed_qps")):
+        _ = model.recommend(uid, k=10, mode=mode)  # compile + build index
+        t0 = time.perf_counter()
+        for _i in range(5):
+            _ = model.recommend(uid, k=10, mode=mode)
+        topk_s = (time.perf_counter() - t0) / 5
+        detail[field] = round(len(uid) / topk_s, 1)
 
 
 def _device_available(timeout_s: int = 180) -> bool:
