@@ -115,7 +115,7 @@ def pool_scores_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, B), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), u1, pool2)
@@ -171,7 +171,7 @@ def pool_select_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), j.astype(jnp.int32), pool2)
@@ -280,7 +280,7 @@ def pool_fold_pallas(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((P + chunk, W), jnp.float32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=96 * 1024 * 1024
+                vmem_limit_bytes=64 * 1024 * 1024
             ),
             interpret=interpret,
         )(shifts.astype(jnp.int32), *args)
@@ -309,7 +309,7 @@ def pool_fold_pallas(
             jax.ShapeDtypeStruct((B, W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(shifts.astype(jnp.int32), *args, pool2)
