@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from lightfm_tpu.config import Hyperparams
 from lightfm_tpu.ops.representation import batch_representation, score_pairs
 from lightfm_tpu.ops.ranking import predict_ranks_padded
-from lightfm_tpu.sparse import identity_rows, pad_csr
+from lightfm_tpu.sparse import content_fingerprint, identity_rows, pad_csr
 from lightfm_tpu.state import ModelState, init_state
 from lightfm_tpu.train import (
     build_train_data,
@@ -271,12 +271,18 @@ class LightFM:
                 **{attr: jax.device_put(m, orig.sharding)}
             )
             self._mirror_snaps[attr] = m.copy()
-            # Representations changed: drop state-dependent serving entries.
-            self._serving_cache = {
-                k: v
-                for k, v in self._serving_cache.items()
-                if not (isinstance(k, tuple) and k and k[0] in ("index", "catalog"))
-            }
+            self._drop_state_dependent_cache()  # representations changed
+
+    def _drop_state_dependent_cache(self):
+        """Drop serving-cache entries derived from MODEL STATE (the serving
+        index / staged catalog representations), keeping the identity-keyed
+        host prep (padded features, converted CSRs, rank tiers) that depends
+        only on the input matrices."""
+        self._serving_cache = {
+            k: v
+            for k, v in self._serving_cache.items()
+            if not (isinstance(k, tuple) and k and k[0] in ("index", "catalog"))
+        }
 
     def _get_field(self, name):
         if self._state is None:
@@ -386,16 +392,6 @@ class LightFM:
                 return pad_csr(csr, pad_multiple=8, width_cap=cap)
         return pad_csr(csr, pad_multiple=8)
 
-    @staticmethod
-    def _content_fingerprint(m) -> tuple:
-        """CRC32-based content checksum for a scipy matrix (see
-        `sparse.content_fingerprint`) guarding the identity-keyed memos
-        below against in-place mutation of a caller's matrix — including
-        sum-preserving edits like swapping two entries."""
-        from lightfm_tpu.sparse import content_fingerprint
-
-        return content_fingerprint(m)
-
     def _memo_by_identity(self, kind: str, obj, build):
         """Memoize ``build(obj)`` in the serving cache keyed by ``obj``'s
         identity (weakref-guarded against id reuse) plus a content checksum
@@ -406,7 +402,10 @@ class LightFM:
         identity lets repeated ``predict_rank``/``predict`` calls skip all
         host-side padding and host->device staging (round-2 verdict #6).
         """
-        key = (kind, id(obj), self._content_fingerprint(obj))
+        # CRC32 content checksum (sparse.content_fingerprint) so in-place
+        # mutation — including sum-preserving edits like swapping two
+        # entries — misses instead of returning stale results.
+        key = (kind, id(obj), content_fingerprint(obj))
         hit = self._serving_cache.get(key)
         if hit is not None:
             ref, val = hit
@@ -680,16 +679,9 @@ class LightFM:
         # views of them) are snapshots of the PRE-fit state and must not
         # sync back over the new tables.
         self._drop_mirrors()
-        # Drop state-DEPENDENT cache entries (serving index / staged catalog
-        # representations).  The identity-keyed host prep (padded features,
-        # converted CSRs, rank tiers) depends only on the input matrices and
-        # stays valid across fits — the per-epoch `fit_partial(1); metrics()`
-        # loop hits it every epoch.
-        self._serving_cache = {
-            k: v
-            for k, v in self._serving_cache.items()
-            if not (isinstance(k, tuple) and k and k[0] in ("index", "catalog"))
-        }
+        # The identity-keyed host prep stays valid across fits — the
+        # per-epoch `fit_partial(1); metrics()` loop hits it every epoch.
+        self._drop_state_dependent_cache()
         return self
 
     # ------------------------------------------------------------------

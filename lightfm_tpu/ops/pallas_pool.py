@@ -177,10 +177,14 @@ def pool_select_pallas(
     )(shifts.astype(jnp.int32), j.astype(jnp.int32), pool2)
 
 
-def _fold_kernel(
-    shifts, x_ref, w_ref, j_ref, acc_ref, *, P: int, n_chunks: int, K: int
+def _fold_slots(
+    i, shifts, x_ref, w_ref, j_ref, acc_ref, *, P: int, n_chunks: int,
+    K: int, pool2_ref=None,
 ):
-    i = pl.program_id(0)
+    """Shared fold body: acc[slot(b, k)] += w[b]*x[b] where j[b] == k, with
+    zero-weight touches exact no-ops; wraparound writes land in the doubled
+    tail and fold back on the last chunk.  With ``pool2_ref``, also returns
+    the selected candidate rows (nrep); None otherwise."""
 
     @pl.when(i == 0)
     def _init():
@@ -190,44 +194,39 @@ def _fold_kernel(
     chunk = x.shape[0]
     w = w_ref[...]  # [CHUNK]
     j = j_ref[...]  # [CHUNK]
+    nrep = None if pool2_ref is None else jnp.zeros_like(x)
     for k in range(K):
         s0 = _slot0(i, shifts[k], chunk, P)
+        if pool2_ref is not None:
+            cand = pool2_ref[pl.ds(s0, chunk), :]
+            nrep = jnp.where((j == k)[:, None], cand, nrep)
         contrib = jnp.where((j == k) & (w != 0.0), w, 0.0)[:, None] * x
         acc_ref[pl.ds(s0, chunk), :] += contrib
 
     @pl.when(i == n_chunks - 1)
     def _fold_tail():
-        # Wraparound slice writes landed in the doubled tail; fold it back.
         acc_ref[pl.ds(0, chunk), :] += acc_ref[pl.ds(P, chunk), :]
+
+    return nrep
+
+
+def _fold_kernel(
+    shifts, x_ref, w_ref, j_ref, acc_ref, *, P: int, n_chunks: int, K: int
+):
+    _fold_slots(
+        pl.program_id(0), shifts, x_ref, w_ref, j_ref, acc_ref,
+        P=P, n_chunks=n_chunks, K=K,
+    )
 
 
 def _fold_nrep_kernel(
     shifts, x_ref, w_ref, j_ref, pool2_ref, acc_ref, nrep_ref,
     *, P: int, n_chunks: int, K: int,
 ):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[...]
-    chunk = x.shape[0]
-    w = w_ref[...]
-    j = j_ref[...]
-    nrep = jnp.zeros_like(x)
-    for k in range(K):
-        s0 = _slot0(i, shifts[k], chunk, P)
-        cand = pool2_ref[pl.ds(s0, chunk), :]
-        sel = (j == k)[:, None]
-        nrep = jnp.where(sel, cand, nrep)
-        contrib = jnp.where((j == k) & (w != 0.0), w, 0.0)[:, None] * x
-        acc_ref[pl.ds(s0, chunk), :] += contrib
-    nrep_ref[...] = nrep
-
-    @pl.when(i == n_chunks - 1)
-    def _fold_tail():
-        acc_ref[pl.ds(0, chunk), :] += acc_ref[pl.ds(P, chunk), :]
+    nrep_ref[...] = _fold_slots(
+        pl.program_id(0), shifts, x_ref, w_ref, j_ref, acc_ref,
+        P=P, n_chunks=n_chunks, K=K, pool2_ref=pool2_ref,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_slots", "interpret"))
