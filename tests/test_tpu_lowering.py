@@ -1,0 +1,93 @@
+"""Cross-platform TPU lowering guards.
+
+`jax.export` with ``platforms=["tpu"]`` runs the Pallas->Mosaic lowering
+(where unsupported ops, layout, and block-spec errors surface) without TPU
+hardware, so kernel regressions are caught by the CPU suite instead of at
+first contact with a device.  The final Mosaic machine-code compile still
+happens on-device; these tests guard everything before it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax import export
+except ImportError:  # pragma: no cover - older jax
+    export = None
+
+pytestmark = pytest.mark.skipif(export is None, reason="jax.export unavailable")
+
+
+def _export_tpu(fn, *args):
+    return export.export(jax.jit(fn), platforms=["tpu"])(*args)
+
+
+def test_pool_kernels_lower_for_tpu_at_production_shapes():
+    from lightfm_tpu.ops import pallas_pool as pp
+
+    B, P, K, W = 131072, 16384, 10, 72
+    u1 = jnp.zeros((B, W), jnp.float32)
+    pool = jnp.zeros((P, W), jnp.float32)
+    shifts = jnp.zeros((K,), jnp.int32)
+    j = jnp.zeros((B,), jnp.int32)
+    w = jnp.zeros((B,), jnp.float32)
+
+    _export_tpu(lambda a, b, c: pp.pool_scores_pallas(a, b, c), u1, pool, shifts)
+    _export_tpu(
+        lambda a, b, c, d, e: pp.pool_fold_pallas(a, b, c, d, n_slots=P, pool=e),
+        u1, w, j, shifts, pool,
+    )
+    _export_tpu(
+        lambda a, b, c: pp.pool_select_pallas(a, b, c, n_examples=B),
+        pool, j, shifts,
+    )
+
+
+def test_sorted_update_kernel_lowers_for_tpu():
+    from lightfm_tpu.ops.pallas_update import sorted_adagrad_update_pallas
+
+    R, W, M = 100_000, 72, 131072
+    table = jnp.zeros((R, W), jnp.float32)
+    acc = jnp.ones((R, W), jnp.float32)
+    sidx = jnp.zeros((M,), jnp.int32)
+    swg = jnp.zeros((M, W), jnp.float32)
+    _export_tpu(
+        lambda t, a, i, g: sorted_adagrad_update_pallas(
+            t, a, i, g, learning_rate=0.05
+        ),
+        table, acc, sidx, swg,
+    )
+
+
+@pytest.mark.parametrize("mode", ["einsum", "kernels"])
+def test_composed_fast_epoch_lowers_for_tpu(mode, monkeypatch):
+    """The full scanned epoch (shuffle sorts + steps + Pallas kernels) must
+    lower for TPU in both fast modes."""
+    import scipy.sparse as sp
+
+    import lightfm_tpu.fast_warp as fw
+    from lightfm_tpu import LightFM
+    from lightfm_tpu.train import run_epochs
+
+    monkeypatch.setattr(fw, "_MODE", "1")
+    rng = np.random.RandomState(0)
+    nnz, n_users, n_items = 32768, 4000, 8192
+    coo = sp.coo_matrix(
+        (
+            np.ones(nnz, np.float32),
+            (rng.randint(0, n_users, nnz), rng.randint(0, n_items, nnz)),
+        ),
+        shape=(n_users, n_items),
+    )
+    m = LightFM(loss="warp", no_components=64, random_state=10, batch_size=16384)
+    m.fit(coo, epochs=0)
+    assert m._staged_fast  # eligible at this table size
+    data, hp, bs = m._staged_train_data, m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(1, dtype=jnp.uint32)
+    _export_tpu(
+        lambda st, d, s: run_epochs(st, d, s, hp, bs, fast=mode),
+        m._state, data, seeds,
+    )
