@@ -267,7 +267,14 @@ def _bench_large_scale(
         # mode's.  A Mosaic failure in the experimental mode must not sink
         # the bench: it is caught and recorded.
         steady_mode = str(fast)
-        alt = {"einsum": "kernels", "kernels": "einsum"}.get(fast)
+        # Pairwise losses A/B the two fast modes (pool einsums vs Pallas
+        # pool kernels).  Logistic's fast path has no pool (its two modes
+        # trace the same graph), so it A/Bs fast vs the GENERIC path
+        # instead — its sorted-update win is unproven on hardware.
+        if loss in ("warp", "bpr"):
+            alt = {"einsum": "kernels", "kernels": "einsum"}.get(fast)
+        else:
+            alt = False if fast else None
         steady_by_mode = {steady_mode: steady_wall}
         if alt is not None:
             try:

@@ -1,4 +1,4 @@
-"""Specialised pairwise-loss training path (WARP and BPR): pool negatives
+"""Specialised training path (WARP, BPR, and logistic): pool negatives
 + item-sorted batches + sorted Pallas table updates.
 
 The generic batched WARP step (`losses.warp_step`) is bound by two
@@ -42,9 +42,11 @@ the EMPIRICAL positive-item distribution (template:1123-1127), selection
 is "first non-positive of bpr_tries rolled draws" (no scoring needed until
 the chosen candidate), and the update pass is identical.
 
-Eligibility is static (hyperparameters + pytree types + backend); anything
-else — adadelta, lazy L2, explicit feature matrices, meshes, k-OS,
-logistic — stays on the generic `losses` path, which remains the
+Logistic has no negative sampling, so it takes only the sorted-update
+half of the machinery (`logistic_sorted_step`).  Eligibility is static
+(hyperparameters + pytree types + backend); anything else — adadelta,
+lazy L2, explicit feature matrices, meshes, k-OS — stays on the generic
+`losses` path, which remains the
 reference implementation of record for loss semantics.
 """
 
@@ -104,7 +106,8 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     """Static gate for the specialised path (trace-time decision).
 
     Covers WARP and BPR (both pairwise losses share the pool/sort
-    machinery; BPR's pool is drawn from the empirical item distribution).
+    machinery; BPR's pool is drawn from the empirical item distribution)
+    and logistic (sorted updates only — no sampling).
 
     Returns the MODE the epoch should run in — ``False`` (generic path),
     ``"einsum"`` (rolled-copy XLA formulation) or ``"kernels"`` (Pallas
@@ -114,7 +117,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     """
     if not _enabled():
         return False
-    if hp.loss not in ("warp", "bpr") or hp.adadelta:
+    if hp.loss not in ("warp", "bpr", "logistic") or hp.adadelta:
         return False
     if hp.loss == "bpr" and data.train_items is None:
         return False
@@ -126,7 +129,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
         return False
     if not isinstance(data.item_feats, IdentityRows):
         return False
-    if data.positives is None:
+    if hp.loss != "logistic" and data.positives is None:
         return False
     # Pool-fold needs B to be a whole number of pools.
     if batch_size > POOL_SIZE and batch_size % POOL_SIZE != 0:
@@ -506,6 +509,56 @@ def bpr_pool_step(
     )
 
 
+def logistic_sorted_step(
+    state: ModelState,
+    batch: Batch,
+    suid: jax.Array,
+    sigma: jax.Array,
+    hp: Hyperparams,
+    *,
+    use_pallas: bool,
+    user_pallas: bool,
+) -> ModelState:
+    """One fast-path LOGISTIC step over an ITEM-SORTED batch.
+
+    Per-example math matches `losses.logistic_step` exactly
+    (``fit_logistic``, template:694-781): sigmoid prediction, y = 1 iff
+    value > 0, gradient ``weight * (pred - y)``; there is no negative
+    sampling, so the pool machinery is unused — the win is purely the
+    sorted Pallas table updates replacing the duplicate-index scatters.
+    """
+    uid, iid = batch.user_ids, batch.item_ids
+    u = state.user_table[uid]  # [B, W]
+    irep = state.item_table[iid]  # sorted ids -> coalesced gather
+    pred = jax.nn.sigmoid(score_pairs(u, irep))
+    y01 = (batch.y > 0).astype(jnp.float32)  # template:751-758
+    loss = jnp.where(batch.valid, batch.weight * (pred - y01), 0.0)
+
+    # _apply_pointwise's fused [emb grads | bias grad] layout.
+    gi = loss[:, None] * with_unit_bias(u)  # [B, W]
+    gu = loss[:, None] * with_unit_bias(irep)
+
+    item_table, item_acc = _sorted_update(
+        state.item_table, state.item_acc, iid, gi, hp.learning_rate, use_pallas
+    )
+    if user_pallas:
+        user_table, user_acc = _sorted_update(
+            state.user_table, state.user_acc, suid, gu[sigma],
+            hp.learning_rate, use_pallas,
+        )
+    else:
+        lru = hp.learning_rate * jax.lax.rsqrt(state.user_acc[uid])
+        user_table = state.user_table.at[uid].add(-(lru * gu))
+        user_acc = state.user_acc.at[uid].add(gu * gu)
+
+    return state._replace(
+        item_table=item_table,
+        item_acc=item_acc,
+        user_table=user_table,
+        user_acc=user_acc,
+    )
+
+
 def fast_epoch(
     state: ModelState, data, key, hp: Hyperparams, batch_size: int,
     mode="einsum",
@@ -531,7 +584,12 @@ def fast_epoch(
     def body(state, xs):
         packed, su, sg, bkey = xs
         batch = _unpack_batch5(packed)
-        if hp.loss == "bpr":
+        if hp.loss == "logistic":
+            state = logistic_sorted_step(
+                state, batch, su, sg, hp,
+                use_pallas=use_pallas, user_pallas=_USER_PALLAS,
+            )
+        elif hp.loss == "bpr":
             state = bpr_pool_step(
                 state, batch, data.positives, data.train_items, su, sg, hp,
                 bkey, n_items=n_items, use_pallas=use_pallas,

@@ -50,9 +50,13 @@ def test_eligibility_gate(planted):
     m.fit(planted, epochs=1)
     assert m._staged_fast  # big identity/adagrad/alpha-0 config -> fast
 
+    # Logistic is eligible too (sorted updates only — no sampling).
+    m_log = LightFM(loss="logistic", no_components=64, random_state=10)
+    m_log.fit(planted, epochs=0)
+    assert m_log._staged_fast
+
     # Each disqualifier must kill the gate.
     for kw in (
-        dict(loss="logistic"),
         dict(loss="warp-kos"),
         dict(learning_schedule="adadelta"),
         dict(item_alpha=1e-5),
@@ -189,6 +193,43 @@ def test_pool_kernels_match_einsum_path_statistically(planted):
             aucs[mode] = float(auc_score(m, train_csr).mean())
         assert aucs["kernels"] > floor, (loss, aucs)
         assert aucs["kernels"] > aucs["einsum"] - 0.02, (loss, aucs)
+
+
+def test_logistic_fast_matches_generic_statistically():
+    """Logistic fast path (sorted updates, no sampling) lands at the same
+    statistical quality as the generic path on signed planted data."""
+    rng = np.random.RandomState(3)
+    nu, ni, per, d = 1500, 8000, 30, 16
+    U, V = rng.randn(nu, d), rng.randn(ni, d)
+    top = np.argsort(-(U @ V.T), axis=1)[:, :per]
+    rows = np.repeat(np.arange(nu), 2 * per)
+    # Half in-preference (+1), half random (-1): logistic needs negatives.
+    neg = rng.randint(0, ni, (nu, per))
+    cols = np.concatenate([top, neg], axis=1).ravel()
+    vals = np.tile(
+        np.concatenate([np.ones(per), -np.ones(per)]).astype(np.float32), nu
+    )
+    coo = sp.coo_matrix((vals, (rows, cols)), shape=(nu, ni))
+    coo.sum_duplicates()
+    coo.data = np.sign(coo.data).astype(np.float32)
+    coo.eliminate_zeros()
+    pos = coo.tocsr().copy()
+    pos.data = np.where(pos.data > 0, pos.data, 0)
+    pos.eliminate_zeros()
+
+    m = LightFM(loss="logistic", no_components=64, random_state=10)
+    m.fit(coo, epochs=0)
+    data, hp, bs = m._staged_train_data, m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(10, dtype=jnp.uint32)
+    init = m._state
+    aucs = {}
+    for fast in (False, True):
+        m._state = run_epochs(init, data, seeds, hp, bs, fast=fast)
+        aucs[fast] = float(auc_score(m, pos).mean())
+    # 10 sigmoid epochs reach ~0.85 on this data (both paths agree to float
+    # noise: they share batch membership, and in-batch updates commute).
+    assert aucs[True] > 0.8, aucs
+    assert aucs[True] > aucs[False] - 0.02, aucs
 
 
 def test_pool_kernels_deterministic(planted):

@@ -62,10 +62,14 @@ def test_sorted_update_kernel_lowers_for_tpu():
     )
 
 
-@pytest.mark.parametrize("mode", ["einsum", "kernels"])
-def test_composed_fast_epoch_lowers_for_tpu(mode, monkeypatch):
+@pytest.mark.parametrize(
+    "loss,mode",
+    [("warp", "einsum"), ("warp", "kernels"), ("bpr", "kernels"),
+     ("logistic", "einsum")],
+)
+def test_composed_fast_epoch_lowers_for_tpu(loss, mode, monkeypatch):
     """The full scanned epoch (shuffle sorts + steps + Pallas kernels) must
-    lower for TPU in both fast modes."""
+    lower for TPU in every fast mode and eligible loss."""
     import scipy.sparse as sp
 
     import lightfm_tpu.fast_warp as fw
@@ -82,7 +86,7 @@ def test_composed_fast_epoch_lowers_for_tpu(mode, monkeypatch):
         ),
         shape=(n_users, n_items),
     )
-    m = LightFM(loss="warp", no_components=64, random_state=10, batch_size=16384)
+    m = LightFM(loss=loss, no_components=64, random_state=10, batch_size=16384)
     m.fit(coo, epochs=0)
     assert m._staged_fast  # eligible at this table size
     data, hp, bs = m._staged_train_data, m._staged_hp, m._staged_batch_size
