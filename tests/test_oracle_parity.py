@@ -42,8 +42,17 @@ _all_sets = {
 }
 
 
+_ORACLE_CACHE: dict = {}
+
+
 def _oracle_auc(train_csr, pos_csr, loss, schedule, all_sets,
                 item_alpha=0.0, user_alpha=0.0, epochs=EPOCHS):
+    # The oracle is deterministic given its arguments; memoize so the
+    # fast-path parity tests reuse the generic tests' runs (the sequential
+    # numpy loops dominate this file's runtime).
+    cache_key = (id(train_csr), loss, schedule, item_alpha, user_alpha, epochs)
+    if cache_key in _ORACLE_CACHE:
+        return _ORACLE_CACHE[cache_key]
     o = SequentialOracle(
         train_csr.shape[0],
         train_csr.shape[1],
@@ -65,7 +74,8 @@ def _oracle_auc(train_csr, pos_csr, loss, schedule, all_sets,
         w = np.ones(coo.nnz)
         for _ in range(epochs):
             o.fit_epoch(coo.row, coo.col, coo.data, w, all_sets)
-    return o.auc(pos_csr)
+    _ORACLE_CACHE[cache_key] = o.auc(pos_csr)
+    return _ORACLE_CACHE[cache_key]
 
 
 def _model_auc(train_csr, pos_csr, loss, schedule,
@@ -87,6 +97,25 @@ def test_batched_training_matches_sequential_oracle(loss, schedule):
     # reformulation must not trail the sequential algorithm meaningfully.
     assert ours > oracle - 0.05, (loss, schedule, ours, oracle)
     assert ours > 0.6, (loss, schedule, ours)
+
+
+@pytest.mark.parametrize("loss", ["warp", "bpr", "logistic"])
+def test_fast_path_matches_sequential_oracle(loss, monkeypatch):
+    """The specialised fast path (pool negatives / item-sorted batches /
+    sorted Pallas updates) must clear the SAME oracle bar as the generic
+    path — not merely match the generic path statistically.  Eligibility
+    is forced (the oracle dataset is below the production size gate)."""
+    import lightfm_tpu.fast_warp as fw
+
+    monkeypatch.setattr(fw, "_MODE", "1")
+    monkeypatch.setattr(fw, "MIN_TABLE_ELEMS", 0)
+    m = LightFM(loss=loss, learning_schedule="adagrad", random_state=SEED)
+    m.fit(_train.tocoo(), epochs=EPOCHS)
+    assert m._staged_fast, "fast path did not engage"
+    ours = float(auc_score(m, _pos, check_intersections=False).mean())
+    oracle = _oracle_auc(_train, _pos, loss, "adagrad", _all_sets)
+    assert ours > oracle - 0.05, (loss, ours, oracle)
+    assert ours > 0.6, (loss, ours)
 
 
 @pytest.mark.parametrize("loss", ["warp", "logistic"])
