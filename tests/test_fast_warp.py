@@ -249,6 +249,20 @@ def test_pool_kernels_deterministic(planted):
     assert (runs[0] == runs[1]).all()
 
 
+def test_fast_path_zero_sample_weights_are_noops(planted):
+    """All-zero sample weights make every update an exact no-op on the fast
+    path (the reference's zero-weight contract, test_movielens.py:517-533)."""
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0)
+    before = m._state
+    zero_w = planted.copy()
+    zero_w.data = np.zeros_like(zero_w.data)
+    m.fit_partial(planted, sample_weight=zero_w.tocoo(), epochs=2)
+    assert m._staged_fast
+    assert np.array_equal(np.asarray(m._state.item_table), np.asarray(before.item_table))
+    assert np.array_equal(np.asarray(m._state.user_table), np.asarray(before.user_table))
+
+
 def test_bpr_eligibility(planted):
     m = LightFM(loss="bpr", no_components=64, random_state=10)
     m.fit(planted, epochs=1)
