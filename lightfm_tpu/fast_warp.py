@@ -100,6 +100,11 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("LIGHTFM_TPU_FAST_WARP_PRECISION", "highest")]
+# Epoch-shuffle batch assignment: "feistel" (default) computes a pointwise
+# mixed-radix Feistel bijection for example->batch membership, dropping the
+# random-key device sort (2 sorts/epoch instead of 3); "sort" keeps the
+# sort-based uniform permutation for A/B.
+_SHUFFLE = os.environ.get("LIGHTFM_TPU_FAST_SHUFFLE", "feistel")
 
 
 def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int):
@@ -146,16 +151,58 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     return "kernels" if _POOL_KERNELS else "einsum"
 
 
+def _hash_u32(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Keyed murmur3-style integer finalizer (u32 lattice math, pure VPU)."""
+    x = (x ^ k) * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def _feistel_batch_of(n: int, n_batches: int, kperm) -> jax.Array:
+    """Random balanced example->batch assignment as a pointwise bijection.
+
+    Views index ``i`` on the mixed-radix grid ``(q, r) = (i // R, i % R)``
+    with ``R = n_batches`` and runs four Feistel rounds whose round
+    function is a keyed integer hash, using modular addition as the group
+    op (Luby-Rackoff needs only a group law, so non-power-of-two radices
+    are fine).  The composed map is a bijection on ``[0, n)``, so every
+    batch id gets EXACTLY ``batch_size`` members — the same balance
+    guarantee the sort-based permutation gives — at ~25 VPU ops per
+    element instead of a full 6-column device sort.
+
+    Batch MEMBERSHIP is what this decides; within-batch order is then
+    fixed by the item sort (batched updates commute, and each example's
+    pool-candidate slots are i.i.d. uniform regardless of its position),
+    so replacing the uniform permutation with a 4-round keyed PRP keeps
+    the training statistics — validated by the same oracle-parity and
+    accuracy-floor batteries that validate pool sampling itself.
+    """
+    R = jnp.uint32(n_batches)
+    Q = jnp.uint32(n // n_batches)
+    ks = jax.random.bits(kperm, (4,), jnp.uint32)
+    i = jax.lax.iota(jnp.uint32, n)
+    q, r = i // R, i % R
+    # Consecutive indices share q and walk r, so mix q from r first.
+    q = (q + _hash_u32(r, ks[0])) % Q
+    r = (r + _hash_u32(q, ks[1])) % R
+    q = (q + _hash_u32(r, ks[2])) % Q
+    r = (r + _hash_u32(q, ks[3])) % R
+    return r.astype(jnp.int32)
+
+
 def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
     """Per-epoch shuffle emitting item-sorted batches + user-sort metadata.
 
-    Three device sorts over the packed example block (payload = the 5
-    meaningful columns):
+    Two device sorts over the packed example block (payload = the 5
+    meaningful columns), after a pointwise random batch assignment:
 
-    1. random u32 keys -> the epoch permutation (same statistical contract
-       as `train._shuffle_global`);
+    1. ``_feistel_batch_of`` -> each example's batch id (keyed bijection;
+       exact ``batch_size`` balance, no sort). ``_SHUFFLE="sort"`` instead
+       draws random u32 keys and sorts, i.e. a uniform permutation — the
+       round-2 formulation, kept for A/B;
     2. (batch, item id) -> each batch's slice sorted by positive item
-       (batch membership fixed by sort 1; within-batch order is free since
+       (batch membership fixed by step 1; within-batch order is free since
        batched updates commute);
     3. (batch, user id) carrying the within-batch position -> the batch's
        user ids in sorted order plus the permutation ``sigma`` mapping
@@ -165,13 +212,16 @@ def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
     sigma [n_batches, B])``.
     """
     n = packed.shape[1]
-    r = jax.random.bits(kperm, (n,), jnp.uint32)
-    cols = jax.lax.sort([r] + [packed[i] for i in range(5)], num_keys=1)[1:]
     batch_of = (jnp.arange(n, dtype=jnp.int32) // batch_size).astype(jnp.int32)
 
-    s = jax.lax.sort(
-        [batch_of, cols[1], cols[0], cols[2], cols[3], cols[4]], num_keys=2
-    )
+    if _SHUFFLE == "sort":
+        r = jax.random.bits(kperm, (n,), jnp.uint32)
+        cols = jax.lax.sort([r] + [packed[i] for i in range(5)], num_keys=1)[1:]
+        skeys = [batch_of, cols[1], cols[0], cols[2], cols[3], cols[4]]
+    else:
+        assign = _feistel_batch_of(n, n_batches, kperm)
+        skeys = [assign] + [packed[i] for i in (1, 0, 2, 3, 4)]
+    s = jax.lax.sort(skeys, num_keys=2)
     item_s, user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4], s[5]
     shuffled = jnp.stack([user_s, item_s, v_s, w_s, valid_s]).reshape(
         5, n_batches, batch_size

@@ -130,7 +130,10 @@ def _select_kernel(shifts, j_ref, pool2_ref, nrep_ref, *, P: int):
     for k in range(K):
         s0 = _slot0(i, shifts[k], chunk, P)
         cand = pool2_ref[pl.ds(s0, chunk), :]
-        nrep = jnp.where((j == k)[:, None], cand, nrep)
+        # Widen the i1 mask to f32 BEFORE the minor-dim insert: Mosaic only
+        # supports non-no-op minor-dim reshapes for 32-bit element types.
+        sel = (j == k).astype(jnp.float32)[:, None]
+        nrep = jnp.where(sel != 0.0, cand, nrep)
     nrep_ref[...] = nrep
 
 
@@ -199,7 +202,9 @@ def _fold_slots(
         s0 = _slot0(i, shifts[k], chunk, P)
         if pool2_ref is not None:
             cand = pool2_ref[pl.ds(s0, chunk), :]
-            nrep = jnp.where((j == k)[:, None], cand, nrep)
+            # f32 mask before [:, None]: Mosaic rejects i1 minor-dim inserts.
+            sel = (j == k).astype(jnp.float32)[:, None]
+            nrep = jnp.where(sel != 0.0, cand, nrep)
         contrib = jnp.where((j == k) & (w != 0.0), w, 0.0)[:, None] * x
         acc_ref[pl.ds(s0, chunk), :] += contrib
 

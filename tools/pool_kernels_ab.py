@@ -20,6 +20,14 @@ from lightfm_tpu import LightFM  # noqa: E402
 from lightfm_tpu.train import run_epochs  # noqa: E402
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+# Optional filters: pool_kernels_ab.py [epochs] [losses] [modes]
+# e.g. `... 5 bpr einsum,kernels` re-measures just those cells.
+LOSSES = sys.argv[2].split(",") if len(sys.argv) > 2 else ["warp", "bpr"]
+MODES = (
+    [m if m != "False" else False for m in sys.argv[3].split(",")]
+    if len(sys.argv) > 3
+    else [False, "einsum", "kernels"]
+)
 
 
 def main():
@@ -27,7 +35,7 @@ def main():
     coo = _clustered_interactions(n_users, n_items, nnz)
     print(f"device={jax.devices()[0].device_kind}", flush=True)
 
-    for loss in ("warp", "bpr"):
+    for loss in LOSSES:
         model = LightFM(
             loss=loss, no_components=D, random_state=10, batch_size=131072
         )
@@ -37,7 +45,7 @@ def main():
         init = model._state
         seeds = jnp.arange(EPOCHS, dtype=jnp.uint32)
 
-        for mode in (False, "einsum", "kernels"):
+        for mode in MODES:
             try:
                 t0 = time.perf_counter()
                 state = run_epochs(init, data, seeds, hp, bs, fast=mode)
