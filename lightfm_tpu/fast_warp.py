@@ -93,9 +93,21 @@ def _enabled() -> bool:
 _USER_PALLAS = os.environ.get("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "1") == "1"
 # Pallas pool kernels (ops/pallas_pool): score/select/fold against a
 # VMEM-resident pool instead of materializing K rolled [P, W] copies and
-# re-reading u1 per rotation through einsums.  Interpret-validated;
-# OPT-IN until A/B-measured on real TPU hardware.
-_POOL_KERNELS = os.environ.get("LIGHTFM_TPU_POOL_KERNELS", "0") == "1"
+# re-reading u1 per rotation through einsums.  "auto" (default) follows the
+# measured v5e A/B at the 5M/D64/B131072 bench shape: kernels for WARP
+# (7.70M vs 7.56M ex/s einsum), einsum for BPR (8.62M ex/s; its
+# kernels-mode select path still hits a runtime INVALID_ARGUMENT on real
+# TPUs — see tools/pool_select_debug.py).  "1"/"0" force kernels/einsum
+# everywhere for A/B.
+_POOL_KERNELS = os.environ.get("LIGHTFM_TPU_POOL_KERNELS", "auto")
+
+
+def _pool_mode(loss: str) -> str:
+    if _POOL_KERNELS == "1":
+        return "kernels"
+    if _POOL_KERNELS == "0":
+        return "einsum"
+    return "kernels" if loss == "warp" else "einsum"
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
@@ -148,7 +160,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
 
     if W * table_width(hp.no_components) < MIN_TABLE_ELEMS:
         return False
-    return "kernels" if _POOL_KERNELS else "einsum"
+    return _pool_mode(hp.loss)
 
 
 def _hash_u32(x: jax.Array, k: jax.Array) -> jax.Array:
