@@ -196,10 +196,15 @@ def _feistel_batch_of(n: int, n_batches: int, kperm) -> jax.Array:
     i = jax.lax.iota(jnp.uint32, n)
     q, r = i // R, i % R
     # Consecutive indices share q and walk r, so mix q from r first.
-    q = (q + _hash_u32(r, ks[0])) % Q
-    r = (r + _hash_u32(q, ks[1])) % R
-    q = (q + _hash_u32(r, ks[2])) % Q
-    r = (r + _hash_u32(q, ks[3])) % R
+    # Each round function is reduced into its radix BEFORE the modular
+    # addition: q < Q and (hash % Q) < Q, so the u32 sum cannot wrap and
+    # every round is an exact add-mod-radix bijection.  (Adding the raw
+    # u32 hash first would overflow mod 2^32 before the mod-Q reduction,
+    # breaking the bijection and hence the exact batch balance.)
+    q = (q + _hash_u32(r, ks[0]) % Q) % Q
+    r = (r + _hash_u32(q, ks[1]) % R) % R
+    q = (q + _hash_u32(r, ks[2]) % Q) % Q
+    r = (r + _hash_u32(q, ks[3]) % R) % R
     return r.astype(jnp.int32)
 
 

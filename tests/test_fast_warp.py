@@ -110,6 +110,27 @@ def test_shuffle_item_sorted_invariants():
         assert (ub[sigma[b]] == suid[b]).all()
 
 
+def test_feistel_batch_assignment_exact_balance():
+    """Regression: the Feistel round function must be reduced into its
+    radix BEFORE the modular addition.  The unfixed form
+    ``(q + hash) % Q`` wraps mod 2^32 when q + hash overflows, breaking
+    the bijection — at the production shape (Q=131072, R=39) a bad key
+    appears within a few hundred draws and yields batch counts like
+    131074/131071, which violates the sorted-update kernel's
+    NON-DECREASING precondition downstream.  Exact balance must hold for
+    EVERY key at the production shape."""
+    n_batches, batch_size = 39, 131072
+    n = n_batches * batch_size
+    fn = jax.jit(fw._feistel_batch_of, static_argnums=(0, 1))
+    # Seeds 410/1554/2204 make the UNFIXED formula wrap (an r-round hash
+    # lands within 38 of 2^32), producing counts 131071/131073; the fixed
+    # formula must be exactly balanced for them and for arbitrary seeds.
+    for seed in (410, 1554, 2204, 0, 1, 2, 3):
+        assign = np.asarray(fn(n, n_batches, jax.random.key(seed)))
+        counts = np.bincount(assign, minlength=n_batches)
+        assert (counts == batch_size).all(), (seed, counts.min(), counts.max())
+
+
 def test_fast_matches_generic_statistically(planted):
     """Same data, same seeds: fast=True vs fast=False epochs land within a
     small AUC margin (pool negatives + sorted updates are statistically
