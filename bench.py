@@ -200,10 +200,14 @@ def _bench_large_scale(
     batch_size=131072,
 ):
     """Per-loss throughput on the 5M x D=64 production shape (sizes are
-    parameters so the harness logic can be smoke-tested at small scale)."""
-    import jax
-    import jax.numpy as jnp
+    parameters so the harness logic can be smoke-tested at small scale).
 
+    Error isolation (round-3 verdict #1/#3): each loss is benched
+    independently, and within a loss the knob configurations fall back
+    progressively — default knobs, then the conservative fast path
+    (einsum pool + sort shuffle), then the generic path — so a crash in
+    one under-validated mode costs at most that cell, never the block.
+    """
     from lightfm_tpu import LightFM
 
     coo = _clustered_interactions(n_users, n_items, nnz)
@@ -213,134 +217,28 @@ def _bench_large_scale(
     coo_signed = _clustered_interactions(n_users, n_items, nnz, signed=True)
     out = {}
     for loss in ("warp", "logistic", "bpr"):
-        loss_coo = coo_signed if loss == "logistic" else coo
-        loss_csr = loss_coo.tocsr()
-        # The AUC guard ranks stored nnz as positives; the signed twin's -1
-        # cells are labels the model is TRAINED to score low, so keep only
-        # the +1 cells for the guard (the real-data harness drops negative
-        # labels the same way, tests/test_movielens_real.py).
-        guard_csr = loss_csr
-        if loss == "logistic":
-            guard_csr = loss_csr.copy()
-            guard_csr.data = np.where(guard_csr.data > 0, guard_csr.data, 0)
-            guard_csr.eliminate_zeros()
-        model = LightFM(
-            loss=loss, no_components=D, random_state=10,
-            batch_size=batch_size,
-        )
-        model.fit(loss_coo, epochs=5)  # compile warmup
-        # Best of 2: remote-device jitter can add seconds to a single fit.
-        first_wall = float("inf")
-        for _ in range(2):
-            model = LightFM(
-                loss=loss, no_components=D, random_state=10,
-            batch_size=batch_size,
-            )
-            t0 = time.perf_counter()
-            model.fit(loss_coo, epochs=5)
-            first_wall = min(first_wall, time.perf_counter() - t0)
-
-        # Steady-state epochs: the staged data is on device; re-dispatch the
-        # compiled multi-epoch program (what every epoch after the first
-        # costs on a co-located host).
-        from lightfm_tpu.train import run_epochs
-
-        data = model._staged_train_data
-        hp, bs = model._staged_hp, model._staged_batch_size
-        fast = model._staged_fast
-        state = model._state
-        state = run_epochs(
-            state, data, jnp.arange(5, 10, dtype=jnp.uint32), hp, bs, fast=fast
-        )  # warm
-        _ = float(jnp.sum(state.item_table))
-        t0 = time.perf_counter()
-        state = run_epochs(
-            state, data, jnp.arange(10, 15, dtype=jnp.uint32), hp, bs, fast=fast
-        )
-        _ = float(jnp.sum(state.item_table))
-        steady_wall = time.perf_counter() - t0
-
-        # A/B the alternate fast mode (pool einsums vs Pallas pool kernels)
-        # on the SAME staged data; both timings are reported and the better
-        # one carries the steady headline.  The alternate run uses throwaway
-        # state so the accuracy-guard trajectory below stays the primary
-        # mode's.  A Mosaic failure in the experimental mode must not sink
-        # the bench: it is caught and recorded.
-        steady_mode = str(fast)
-        # Pairwise losses A/B the two fast modes (pool einsums vs Pallas
-        # pool kernels).  Logistic's fast path has no pool (its two modes
-        # trace the same graph), so it A/Bs fast vs the GENERIC path
-        # instead — its sorted-update win is unproven on hardware.
-        if loss in ("warp", "bpr"):
-            alt = {"einsum": "kernels", "kernels": "einsum"}.get(fast)
-        else:
-            alt = False if fast else None
-        steady_by_mode = {steady_mode: steady_wall}
-        if alt is not None:
+        fallbacks = []
+        entry = None
+        # Progressive knob ladder; the first config that completes carries
+        # the loss's numbers (and records any configs that failed).
+        for knobs in (
+            {},
+            {"pool_kernels": "einsum", "shuffle_mode": "sort"},
+            {"fast_path": "off"},
+        ):
             try:
-                s2 = run_epochs(
-                    state, data, jnp.arange(5, 10, dtype=jnp.uint32), hp, bs,
-                    fast=alt,
-                )  # compile + warm (timing-only; result discarded)
-                _ = float(jnp.sum(s2.item_table))
-                t0 = time.perf_counter()
-                s2 = run_epochs(
-                    s2, data, jnp.arange(10, 15, dtype=jnp.uint32), hp, bs,
-                    fast=alt,
+                entry = _bench_one_loss(
+                    loss, coo, coo_signed, D=D, batch_size=batch_size,
+                    n_users=n_users, n_items=n_items, **knobs
                 )
-                _ = float(jnp.sum(s2.item_table))
-                steady_by_mode[alt] = time.perf_counter() - t0
-                if steady_by_mode[alt] < steady_wall:
-                    steady_wall = steady_by_mode[alt]
-                    steady_mode = alt
+                if knobs:
+                    entry["fallback_knobs"] = knobs
+                if fallbacks:
+                    entry["failed_configs"] = fallbacks
+                break
             except Exception as e:
-                steady_by_mode[alt] = f"error: {e!r}"
-
-        # Accuracy guard on the full 15-epoch trajectory (fit + both steady
-        # runs continue the same training); the sigmoid losses converge
-        # slower than WARP's rank-weighted one, so guard them further out.
-        guard_epochs = 15
-        if loss in ("bpr", "logistic"):
-            state = run_epochs(
-                state, data, jnp.arange(15, 30, dtype=jnp.uint32), hp, bs,
-                fast=fast,
-            )
-            guard_epochs = 30
-        model._state = state
-
-        entry = {
-            "fit_examples_per_sec": round(coo.nnz * 5 / first_wall, 1),
-            "steady_epoch_examples_per_sec": round(coo.nnz * 5 / steady_wall, 1),
-            "fit_wall_s": round(first_wall, 3),
-            "steady_5epoch_wall_s": round(steady_wall, 3),
-            # Which fast mode carried the steady headline, plus raw walls
-            # for every mode measured (the A/B above).
-            "steady_mode": steady_mode,
-            "steady_5epoch_wall_s_by_mode": {
-                str(k): (round(v, 3) if isinstance(v, float) else v)
-                for k, v in steady_by_mode.items()
-            },
-            # Every loss carries the guard so no throughput number can be
-            # gamed by broken training.
-            "auc_train_sample": round(_auc_sample(model, guard_csr), 4),
-            "guard_epochs": guard_epochs,
-        }
-        if loss == "warp":
-            entry["vs_cpu32_linear_estimate"] = round(
-                entry["steady_epoch_examples_per_sec"] / _REF_CPU32_D64_ESTIMATE, 2
-            )
-        from lightfm_tpu.state import table_width
-
-        pos_width = (
-            data.positives.idx.shape[1] if data.positives is not None else 0
-        )
-        _roofline(
-            loss, entry,
-            B=bs, W=table_width(D), nnz=coo.nnz,
-            n_users=n_users, n_items=n_items,
-            pos_width=pos_width, K=model._hp().max_sampled,
-        )
-        out[loss] = entry
+                fallbacks.append({"knobs": knobs, "error": repr(e)})
+        out[loss] = entry if entry is not None else {"error": fallbacks}
     detail["large_scale"] = {
         "config": (
             f"{nnz}-interactions-{n_users}x{n_items}-D{D}-batch{batch_size}"
@@ -354,6 +252,144 @@ def _bench_large_scale(
         # device; no cross-device projection is applied to any number.
         "north_star_hardware": "1x v5p (BASELINE.md)",
     }
+
+
+def _bench_one_loss(
+    loss, coo, coo_signed, *, D, batch_size, n_users, n_items, **knobs
+):
+    """Measure one loss's fit/steady throughput + accuracy guard."""
+    import jax.numpy as jnp
+
+    from lightfm_tpu import LightFM
+
+    loss_coo = coo_signed if loss == "logistic" else coo
+    loss_csr = loss_coo.tocsr()
+    # The AUC guard ranks stored nnz as positives; the signed twin's -1
+    # cells are labels the model is TRAINED to score low, so keep only
+    # the +1 cells for the guard (the real-data harness drops negative
+    # labels the same way, tests/test_movielens_real.py).
+    guard_csr = loss_csr
+    if loss == "logistic":
+        guard_csr = loss_csr.copy()
+        guard_csr.data = np.where(guard_csr.data > 0, guard_csr.data, 0)
+        guard_csr.eliminate_zeros()
+    model = LightFM(
+        loss=loss, no_components=D, random_state=10,
+        batch_size=batch_size, **knobs
+    )
+    model.fit(loss_coo, epochs=5)  # compile warmup
+    # Best of 2: remote-device jitter can add seconds to a single fit.
+    first_wall = float("inf")
+    for _ in range(2):
+        model = LightFM(
+            loss=loss, no_components=D, random_state=10,
+            batch_size=batch_size, **knobs
+        )
+        t0 = time.perf_counter()
+        model.fit(loss_coo, epochs=5)
+        first_wall = min(first_wall, time.perf_counter() - t0)
+
+    # Steady-state epochs: the staged data is on device; re-dispatch the
+    # compiled multi-epoch program (what every epoch after the first
+    # costs on a co-located host).
+    from lightfm_tpu.train import run_epochs
+
+    data = model._staged_train_data
+    hp, bs = model._staged_hp, model._staged_batch_size
+    fast = model._staged_fast
+    state = model._state
+    state = run_epochs(
+        state, data, jnp.arange(5, 10, dtype=jnp.uint32), hp, bs, fast=fast
+    )  # warm
+    _ = float(jnp.sum(state.item_table))
+    t0 = time.perf_counter()
+    state = run_epochs(
+        state, data, jnp.arange(10, 15, dtype=jnp.uint32), hp, bs, fast=fast
+    )
+    _ = float(jnp.sum(state.item_table))
+    steady_wall = time.perf_counter() - t0
+
+    # A/B the alternate fast mode (pool einsums vs Pallas pool kernels)
+    # on the SAME staged data; both timings are reported and the better
+    # one carries the steady headline.  The alternate run uses throwaway
+    # state so the accuracy-guard trajectory below stays the primary
+    # mode's.  A Mosaic failure in the experimental mode must not sink
+    # the bench: it is caught and recorded.
+    steady_mode = str(fast)
+    # Pairwise losses A/B the two fast modes (pool einsums vs Pallas
+    # pool kernels).  Logistic's fast path has no pool (its two modes
+    # trace the same graph), so it A/Bs fast vs the GENERIC path
+    # instead — its sorted-update win is unproven on hardware.
+    if loss in ("warp", "bpr"):
+        alt = {"einsum": "kernels", "kernels": "einsum"}.get(fast)
+    else:
+        alt = False if fast else None
+    steady_by_mode = {steady_mode: steady_wall}
+    if alt is not None:
+        try:
+            s2 = run_epochs(
+                state, data, jnp.arange(5, 10, dtype=jnp.uint32), hp, bs,
+                fast=alt,
+            )  # compile + warm (timing-only; result discarded)
+            _ = float(jnp.sum(s2.item_table))
+            t0 = time.perf_counter()
+            s2 = run_epochs(
+                s2, data, jnp.arange(10, 15, dtype=jnp.uint32), hp, bs,
+                fast=alt,
+            )
+            _ = float(jnp.sum(s2.item_table))
+            steady_by_mode[alt] = time.perf_counter() - t0
+            if steady_by_mode[alt] < steady_wall:
+                steady_wall = steady_by_mode[alt]
+                steady_mode = alt
+        except Exception as e:
+            steady_by_mode[alt] = f"error: {e!r}"
+
+    # Accuracy guard on the full 15-epoch trajectory (fit + both steady
+    # runs continue the same training); the sigmoid losses converge
+    # slower than WARP's rank-weighted one, so guard them further out.
+    guard_epochs = 15
+    if loss in ("bpr", "logistic"):
+        state = run_epochs(
+            state, data, jnp.arange(15, 30, dtype=jnp.uint32), hp, bs,
+            fast=fast,
+        )
+        guard_epochs = 30
+    model._state = state
+
+    entry = {
+        "fit_examples_per_sec": round(coo.nnz * 5 / first_wall, 1),
+        "steady_epoch_examples_per_sec": round(coo.nnz * 5 / steady_wall, 1),
+        "fit_wall_s": round(first_wall, 3),
+        "steady_5epoch_wall_s": round(steady_wall, 3),
+        # Which fast mode carried the steady headline, plus raw walls
+        # for every mode measured (the A/B above).
+        "steady_mode": steady_mode,
+        "steady_5epoch_wall_s_by_mode": {
+            str(k): (round(v, 3) if isinstance(v, float) else v)
+            for k, v in steady_by_mode.items()
+        },
+        # Every loss carries the guard so no throughput number can be
+        # gamed by broken training.
+        "auc_train_sample": round(_auc_sample(model, guard_csr), 4),
+        "guard_epochs": guard_epochs,
+    }
+    if loss == "warp":
+        entry["vs_cpu32_linear_estimate"] = round(
+            entry["steady_epoch_examples_per_sec"] / _REF_CPU32_D64_ESTIMATE, 2
+        )
+    from lightfm_tpu.state import table_width
+
+    pos_width = (
+        data.positives.idx.shape[1] if data.positives is not None else 0
+    )
+    _roofline(
+        loss, entry,
+        B=bs, W=table_width(D), nnz=coo.nnz,
+        n_users=n_users, n_items=n_items,
+        pos_width=pos_width, K=model._hp().max_sampled,
+    )
+    return entry
 
 
 def _bench_serving(model, train, detail):

@@ -41,6 +41,32 @@ class Hyperparams:
     # Number of candidate draws for BPR's rejection sampling of negatives.
     bpr_tries: int = 8
 
+    # --- fast-path execution knobs (lightfm_tpu.fast_warp) ---
+    # Per-model, hashable (static under jit, so flipping any of them
+    # retraces), visible to get_params/pickles/checkpoints.  The matching
+    # LIGHTFM_TPU_* env vars, when set, override these at FIT time for
+    # process-wide A/B (fast_warp.apply_env_overrides) — they no longer
+    # freeze anything at import.
+    #
+    # Whether the specialised pool/sorted-update path may engage at all
+    # ("auto": TPU backends only; eligibility gates still apply).
+    fast_path: str = "auto"  # "auto" | "on" | "off"
+    # Pool scoring/fold implementation for the pairwise fast path:
+    # Pallas pool kernels vs the rolled-einsum XLA formulation.  "auto"
+    # follows the current hardware-validated per-loss default.
+    pool_kernels: str = "auto"  # "auto" | "kernels" | "einsum"
+    # Route the user-table update through the sorted Pallas kernel (one
+    # extra [B, W] permutation gather) instead of the XLA scatter.
+    user_pallas: bool = True
+    # MXU precision for the fast path's scoring/fold contractions.
+    # "highest" keeps them f32 (matching the generic path's gradients);
+    # "default" allows bf16 passes.
+    fast_precision: str = "highest"  # "highest" | "default"
+    # Fast-path epoch-shuffle batch assignment: pointwise Feistel bijection
+    # (2 device sorts/epoch) vs sort-based uniform permutation (3 sorts).
+    # Changes the RNG consumption pattern, hence part of the model config.
+    shuffle_mode: str = "feistel"  # "feistel" | "sort"
+
     def __post_init__(self):
         # Mirror the reference's constructor asserts (`lightfm/lightfm.py:205-216`).
         assert self.item_alpha >= 0.0
@@ -59,6 +85,16 @@ class Hyperparams:
         # here.
         if self.max_sampled < 0:
             raise ValueError("max_sampled must be non-negative")
+        if self.fast_path not in ("auto", "on", "off"):
+            raise ValueError("fast_path must be 'auto', 'on' or 'off'")
+        if self.pool_kernels not in ("auto", "kernels", "einsum"):
+            raise ValueError(
+                "pool_kernels must be 'auto', 'kernels' or 'einsum'"
+            )
+        if self.fast_precision not in ("highest", "default"):
+            raise ValueError("fast_precision must be 'highest' or 'default'")
+        if self.shuffle_mode not in ("feistel", "sort"):
+            raise ValueError("shuffle_mode must be 'feistel' or 'sort'")
 
     @property
     def adadelta(self) -> bool:

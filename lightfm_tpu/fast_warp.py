@@ -75,48 +75,74 @@ POOL_SIZE = 16384
 # validated) generic path on small CPU test datasets.
 MIN_TABLE_ELEMS = 1 << 19
 
-# "auto" (default): fast path on TPU backends only — the pool/sort machinery
-# is a win against TPU HBM gather/scatter costs but measured ~2x SLOWER than
-# the generic path on CPU.  "1"/"0" force it on/off everywhere (A/B, tests).
-_MODE = os.environ.get("LIGHTFM_TPU_FAST_WARP", "auto")
+# Fast-path configuration lives in Hyperparams (config.py: fast_path,
+# pool_kernels, user_pallas, fast_precision, shuffle_mode) so it is
+# per-model, checkpointable, and part of the jit cache key.  The env vars
+# below OVERRIDE the per-model values at FIT time (process-wide A/B without
+# touching code) — nothing is frozen at import any more.
+_ENV_OVERRIDES = (
+    # (env var, Hyperparams field, value aliases)
+    ("LIGHTFM_TPU_FAST_WARP", "fast_path", {"1": "on", "0": "off"}),
+    ("LIGHTFM_TPU_POOL_KERNELS", "pool_kernels",
+     {"1": "kernels", "0": "einsum"}),
+    ("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "user_pallas",
+     {"1": True, "0": False}),
+    ("LIGHTFM_TPU_FAST_WARP_PRECISION", "fast_precision", {}),
+    ("LIGHTFM_TPU_FAST_SHUFFLE", "shuffle_mode", {}),
+)
 
 
-def _enabled() -> bool:
-    if _MODE == "0":
+def apply_env_overrides(hp: Hyperparams) -> Hyperparams:
+    """Fold any set LIGHTFM_TPU_* env vars over the model's fast-path knobs.
+
+    Read at fit time (NOT import time) so one process can A/B by flipping
+    the environment between fits; unset vars leave the per-model values
+    untouched.  `LightFM.get_params` keeps reporting the constructor
+    values — env overrides affect execution, not the sklearn param state.
+    """
+    import dataclasses
+
+    updates = {}
+    for env, field, aliases in _ENV_OVERRIDES:
+        raw = os.environ.get(env)
+        if raw is not None:
+            updates[field] = aliases.get(raw, raw)
+    return dataclasses.replace(hp, **updates) if updates else hp
+
+
+def _enabled(hp: Hyperparams) -> bool:
+    # "auto": TPU backends only — the pool/sort machinery is a win against
+    # TPU HBM gather/scatter costs but measured ~2x SLOWER than the generic
+    # path on CPU.
+    if hp.fast_path == "off":
         return False
-    if _MODE == "1":
+    if hp.fast_path == "on":
         return True
     return jax.default_backend() == "tpu"
-# The user-side sorted-kernel update needs one extra [B, W] permutation
-# gather per step; whether that beats the XLA scatter is size-dependent
-# (see bench).  Default on for TPU; env-overridable for A/B.
-_USER_PALLAS = os.environ.get("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "1") == "1"
-# Pallas pool kernels (ops/pallas_pool): score/select/fold against a
-# VMEM-resident pool instead of materializing K rolled [P, W] copies and
-# re-reading u1 per rotation through einsums.  "auto" (default) follows the
-# measured v5e A/B at the 5M/D64/B131072 bench shape: kernels for WARP
-# (7.70M vs 7.56M ex/s einsum), einsum for BPR (8.62M ex/s; its
-# kernels-mode select path still hits a runtime INVALID_ARGUMENT on real
-# TPUs — see tools/pool_select_debug.py).  "1"/"0" force kernels/einsum
-# everywhere for A/B.
-_POOL_KERNELS = os.environ.get("LIGHTFM_TPU_POOL_KERNELS", "auto")
 
 
-def _pool_mode(loss: str) -> str:
-    if _POOL_KERNELS == "1":
-        return "kernels"
-    if _POOL_KERNELS == "0":
-        return "einsum"
-    return "kernels" if loss == "warp" else "einsum"
-_PRECISION = {
-    "default": jax.lax.Precision.DEFAULT,
-    "highest": jax.lax.Precision.HIGHEST,
-}[os.environ.get("LIGHTFM_TPU_FAST_WARP_PRECISION", "highest")]
-# Epoch-shuffle batch assignment: "feistel" (default) computes a pointwise
-# mixed-radix Feistel bijection for example->batch membership, dropping the
-# random-key device sort (2 sorts/epoch instead of 3); "sort" keeps the
-# sort-based uniform permutation for A/B.
-_SHUFFLE = os.environ.get("LIGHTFM_TPU_FAST_SHUFFLE", "feistel")
+def _pool_mode(hp: Hyperparams) -> str:
+    """Pool scoring/fold implementation for the pairwise fast path.
+
+    "auto" is the hardware-validated default: the rolled-einsum
+    formulation for every loss.  The Pallas pool kernels
+    (ops/pallas_pool) remain selectable per model or via
+    LIGHTFM_TPU_POOL_KERNELS=1 — the round-3 flip to kernels-for-WARP was
+    reverted after the kernels-default bench run died with a runtime
+    INVALID_ARGUMENT at the production shape (BENCH_r03, round-3 verdict
+    #1); "auto" follows whichever mode the current round's same-session
+    hardware A/B proves at that shape.
+    """
+    if hp.pool_kernels in ("kernels", "einsum"):
+        return hp.pool_kernels
+    return "einsum"
+
+
+def _precision(hp: Hyperparams):
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[hp.fast_precision]
 
 
 def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int):
@@ -132,7 +158,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     static ``fast`` argument, so flipping the kernel gate retraces instead
     of silently reusing the other mode's executable.
     """
-    if not _enabled():
+    if not _enabled(hp):
         return False
     if hp.loss not in ("warp", "bpr", "logistic") or hp.adadelta:
         return False
@@ -160,7 +186,7 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
 
     if W * table_width(hp.no_components) < MIN_TABLE_ELEMS:
         return False
-    return _pool_mode(hp.loss)
+    return _pool_mode(hp)
 
 
 def _hash_u32(x: jax.Array, k: jax.Array) -> jax.Array:
@@ -208,16 +234,18 @@ def _feistel_batch_of(n: int, n_batches: int, kperm) -> jax.Array:
     return r.astype(jnp.int32)
 
 
-def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
+def shuffle_item_sorted(
+    packed, kperm, n_batches: int, batch_size: int, mode: str = "feistel"
+):
     """Per-epoch shuffle emitting item-sorted batches + user-sort metadata.
 
     Two device sorts over the packed example block (payload = the 5
     meaningful columns), after a pointwise random batch assignment:
 
     1. ``_feistel_batch_of`` -> each example's batch id (keyed bijection;
-       exact ``batch_size`` balance, no sort). ``_SHUFFLE="sort"`` instead
+       exact ``batch_size`` balance, no sort). ``mode="sort"`` instead
        draws random u32 keys and sorts, i.e. a uniform permutation — the
-       round-2 formulation, kept for A/B;
+       round-2 formulation, kept for A/B (``hp.shuffle_mode``);
     2. (batch, item id) -> each batch's slice sorted by positive item
        (batch membership fixed by step 1; within-batch order is free since
        batched updates commute);
@@ -231,7 +259,7 @@ def shuffle_item_sorted(packed, kperm, n_batches: int, batch_size: int):
     n = packed.shape[1]
     batch_of = (jnp.arange(n, dtype=jnp.int32) // batch_size).astype(jnp.int32)
 
-    if _SHUFFLE == "sort":
+    if mode == "sort":
         r = jax.random.bits(kperm, (n,), jnp.uint32)
         cols = jax.lax.sort([r] + [packed[i] for i in range(5)], num_keys=1)[1:]
         skeys = [batch_of, cols[1], cols[0], cols[2], cols[3], cols[4]]
@@ -263,7 +291,8 @@ def _unpack_batch5(packed: jax.Array) -> Batch:
     )
 
 
-def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool):
+def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool,
+                   precision=jax.lax.Precision.HIGHEST):
     """Adagrad update over SORTED touches: Pallas kernel on TPU, the
     semantically-identical XLA scatter elsewhere (pre-batch accumulator
     rule either way; zero-gradient touches are exact no-ops)."""
@@ -271,7 +300,7 @@ def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool):
         from lightfm_tpu.ops.pallas_update import sorted_adagrad_update_pallas
 
         return sorted_adagrad_update_pallas(
-            table, acc, sidx, wg, learning_rate=lr, precision=_PRECISION
+            table, acc, sidx, wg, learning_rate=lr, precision=precision
         )
     lrl = lr * jax.lax.rsqrt(acc[sidx])
     table = table.at[sidx].add(-(lrl * wg))
@@ -290,16 +319,16 @@ def _rolled_reps(pool_reps, shifts, K: int):
     return jnp.stack([jnp.roll(pool_reps, -shifts[k], axis=0) for k in range(K)])
 
 
-def _nrep_einsum(onehot, rp, Q: int, P: int):
+def _nrep_einsum(onehot, rp, Q: int, P: int, precision):
     """Selected-candidate reps via one-hot contraction over rolled copies."""
     K = rp.shape[0]
     W = rp.shape[2]
     return jnp.einsum(
-        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp, precision=_PRECISION
+        "kqs,ksd->qsd", onehot.reshape(K, Q, P), rp, precision=precision
     ).reshape(Q * P, W)
 
 
-def _fold_gp_einsum(sel, u1q, shifts):
+def _fold_gp_einsum(sel, u1q, shifts, precision):
     """Pool-space gradient fold via einsums over rolled copies: returns
     (gp, gp2) [P, W] — sum of sel-weighted u1 (and sel^2-weighted u1^2)
     at each candidate's pool slot."""
@@ -307,13 +336,13 @@ def _fold_gp_einsum(sel, u1q, shifts):
     Q, P, W = u1q.shape
     selq = sel.reshape(K, Q, P)
     sel2q = (sel * sel).reshape(K, Q, P)
-    # _PRECISION (default HIGHEST) keeps these contractions f32 on the MXU,
-    # matching the generic path's gradients and the update kernel's own
-    # precision control; env-overridable to bf16 for A/B.
+    # hp.fast_precision (default HIGHEST) keeps these contractions f32 on
+    # the MXU, matching the generic path's gradients and the update
+    # kernel's own precision control; "default" allows bf16 for A/B.
     g_roll = jnp.einsum(
-        "kqs,qsd->ksd", selq, u1q, precision=_PRECISION
+        "kqs,qsd->ksd", selq, u1q, precision=precision
     )  # [K, P, W] rolled space
-    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q, precision=_PRECISION)
+    g2_roll = jnp.einsum("kqs,qsd->ksd", sel2q, u1q * u1q, precision=precision)
     gp = jnp.zeros((P, W), jnp.float32)
     gp2 = jnp.zeros((P, W), jnp.float32)
     for k in range(K):  # fold rotations back to pool slots
@@ -348,6 +377,7 @@ def _apply_pool_updates(
     uid, pos_ids, gi, gu, suid, sigma,
     pool_ids, gp, gp2,
     lr: float, use_pallas: bool, user_pallas: bool,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Shared fast-path update pass (positive pair / pool negatives / user).
 
@@ -364,7 +394,8 @@ def _apply_pool_updates(
     """
     # --- item table: positive pairs (ids already sorted) ----------------
     item_table, item_acc = _sorted_update(
-        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas
+        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas,
+        precision,
     )
 
     # --- item table: pool negatives (P-row scatter) ---------------------
@@ -376,7 +407,8 @@ def _apply_pool_updates(
     if user_pallas:
         sgu = gu[sigma]  # reorder gradients into user-sorted order
         user_table, user_acc = _sorted_update(
-            state.user_table, state.user_acc, suid, sgu, lr, use_pallas
+            state.user_table, state.user_acc, suid, sgu, lr, use_pallas,
+            precision,
         )
     else:
         lru = lr * jax.lax.rsqrt(state.user_acc[uid])
@@ -430,14 +462,16 @@ def warp_pool_step(
 
     u1 = with_unit_bias(u)  # [B, W]
     pos_pred = score_pairs(u, prep)  # [B]
+    prec = _precision(hp)
     kern_interp = not use_pallas  # CPU/GPU backends: interpret the kernels
     # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
     # trick) + user_bias, exactly _score_candidates' scoring.
-    # _PRECISION (default HIGHEST) keeps candidate scores f32 like the
-    # generic path's `_score_candidates`, so margin-violator selection does
-    # not drift on bf16 MXU passes.  The Pallas kernel path computes the
-    # same dots as exact f32 VPU multiply-reduces against the VMEM-resident
-    # pool — no [K, P, W] rolled materialization, u1 read once.
+    # hp.fast_precision (default HIGHEST) keeps candidate scores f32 like
+    # the generic path's `_score_candidates`, so margin-violator selection
+    # does not drift on bf16 MXU passes.  The Pallas kernel path computes
+    # the same dots as exact f32 VPU multiply-reduces against the
+    # VMEM-resident pool — no [K, P, W] rolled materialization, u1 read
+    # once.
     if pool_kernels:
         from lightfm_tpu.ops.pallas_pool import pool_scores_pallas
 
@@ -449,7 +483,7 @@ def warp_pool_step(
         rp = _rolled_reps(pool_reps, shifts, K)
         u1q = u1.reshape(Q, P, W)
         preds = (
-            jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=_PRECISION)
+            jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=prec)
             + u[:, -1].reshape(1, Q, P)
         ).reshape(K, B)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (K, Q, P)).reshape(K, B)
@@ -473,9 +507,9 @@ def warp_pool_step(
         onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
             jnp.float32
         )  # [K, B]
-        nrep = _nrep_einsum(onehot, rp, Q, P)
+        nrep = _nrep_einsum(onehot, rp, Q, P, prec)
         sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
-        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts)
+        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
 
     # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
     gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
@@ -483,7 +517,7 @@ def warp_pool_step(
 
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
-        hp.learning_rate, use_pallas, user_pallas,
+        hp.learning_rate, use_pallas, user_pallas, prec,
     )
 
 
@@ -535,6 +569,7 @@ def bpr_pool_step(
     ok = ~in_positives_slots(positives, uid, cand_ids)  # [T, B]
     j = jnp.where(ok.any(axis=0), jnp.argmax(ok, axis=0), T - 1)
     u1 = with_unit_bias(u)
+    prec = _precision(hp)
     kern_interp = not use_pallas
     if pool_kernels:
         # BPR needs nrep BEFORE the loss exists (the loss is a function of
@@ -551,7 +586,7 @@ def bpr_pool_step(
         onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
             jnp.float32
         )
-        nrep = _nrep_einsum(onehot, rp, Q, P)
+        nrep = _nrep_einsum(onehot, rp, Q, P, prec)
 
     pos_pred = score_pairs(u, prep)
     neg_pred = score_pairs(u, nrep)
@@ -565,14 +600,14 @@ def bpr_pool_step(
         )
     else:
         sel = onehot * lossm[None, :]
-        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts)
+        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
 
     gi = lossm[:, None] * u1
     gu = lossm[:, None] * with_unit_bias(nrep - prep)
 
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
-        hp.learning_rate, use_pallas, user_pallas,
+        hp.learning_rate, use_pallas, user_pallas, prec,
     )
 
 
@@ -605,13 +640,15 @@ def logistic_sorted_step(
     gi = loss[:, None] * with_unit_bias(u)  # [B, W]
     gu = loss[:, None] * with_unit_bias(irep)
 
+    prec = _precision(hp)
     item_table, item_acc = _sorted_update(
-        state.item_table, state.item_acc, iid, gi, hp.learning_rate, use_pallas
+        state.item_table, state.item_acc, iid, gi, hp.learning_rate,
+        use_pallas, prec,
     )
     if user_pallas:
         user_table, user_acc = _sorted_update(
             state.user_table, state.user_acc, suid, gu[sigma],
-            hp.learning_rate, use_pallas,
+            hp.learning_rate, use_pallas, prec,
         )
     else:
         lru = hp.learning_rate * jax.lax.rsqrt(state.user_acc[uid])
@@ -643,10 +680,11 @@ def fast_epoch(
     keys = jax.random.split(kbatch, n_batches)
 
     shuffled, suid, sigma = shuffle_item_sorted(
-        data.packed, kperm, n_batches, batch_size
+        data.packed, kperm, n_batches, batch_size, hp.shuffle_mode
     )
     n_items = data.item_feats.n_rows
     use_pallas = jax.default_backend() == "tpu"
+    user_pallas = hp.user_pallas
 
     def body(state, xs):
         packed, su, sg, bkey = xs
@@ -654,19 +692,19 @@ def fast_epoch(
         if hp.loss == "logistic":
             state = logistic_sorted_step(
                 state, batch, su, sg, hp,
-                use_pallas=use_pallas, user_pallas=_USER_PALLAS,
+                use_pallas=use_pallas, user_pallas=user_pallas,
             )
         elif hp.loss == "bpr":
             state = bpr_pool_step(
                 state, batch, data.positives, data.train_items, su, sg, hp,
                 bkey, n_items=n_items, use_pallas=use_pallas,
-                user_pallas=_USER_PALLAS, pool_kernels=pool_kernels,
+                user_pallas=user_pallas, pool_kernels=pool_kernels,
             )
         else:
             state = warp_pool_step(
                 state, batch, data.positives, su, sg, hp, bkey,
                 n_items=n_items, use_pallas=use_pallas,
-                user_pallas=_USER_PALLAS, pool_kernels=pool_kernels,
+                user_pallas=user_pallas, pool_kernels=pool_kernels,
             )
         return state, None
 

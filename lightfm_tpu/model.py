@@ -93,6 +93,11 @@ class LightFM:
         table_partition="replicated",
         shard_examples=False,
         example_shuffle="global",
+        fast_path="auto",
+        pool_kernels="auto",
+        user_pallas=True,
+        fast_precision="highest",
+        shuffle_mode="feistel",
     ):
         # Validation mirrors `lightfm/lightfm.py:205-216` (assertions +
         # max_sampled ValueError); mostly delegated to
@@ -115,6 +120,11 @@ class LightFM:
             user_alpha=user_alpha,
             max_sampled=max_sampled,
             batch_size=batch_size,
+            fast_path=fast_path,
+            pool_kernels=pool_kernels,
+            user_pallas=user_pallas,
+            fast_precision=fast_precision,
+            shuffle_mode=shuffle_mode,
         )
 
         self.loss = loss
@@ -129,6 +139,14 @@ class LightFM:
         self.item_alpha = item_alpha
         self.user_alpha = user_alpha
         self.batch_size = batch_size
+        # Fast-path execution knobs (lightfm_tpu.fast_warp; see config.py).
+        # Per-model and checkpointable; matching LIGHTFM_TPU_* env vars
+        # override them at fit time (fast_warp.apply_env_overrides).
+        self.fast_path = fast_path
+        self.pool_kernels = pool_kernels
+        self.user_pallas = user_pallas
+        self.fast_precision = fast_precision
+        self.shuffle_mode = shuffle_mode
         # TPU execution config: device mesh + table partitioning
         # ("replicated" | "rows" | "components") + example-block sharding
         # over the data axis (pod-scale inputs); see lightfm_tpu.parallel.
@@ -191,6 +209,11 @@ class LightFM:
             max_sampled=self.max_sampled,
             batch_size=self.batch_size,
             bpr_tries=bpr_tries,
+            fast_path=self.fast_path,
+            pool_kernels=self.pool_kernels,
+            user_pallas=self.user_pallas,
+            fast_precision=self.fast_precision,
+            shuffle_mode=self.shuffle_mode,
         )
 
     @staticmethod
@@ -607,9 +630,15 @@ class LightFM:
         if num_threads < 1:
             raise ValueError("Number of threads must be 1 or larger.")
 
-        hp = self._hp(
-            bpr_tries=(
-                self._bpr_tries_for(interactions) if self.loss == "bpr" else 8
+        from lightfm_tpu.fast_warp import apply_env_overrides
+
+        hp = apply_env_overrides(
+            self._hp(
+                bpr_tries=(
+                    self._bpr_tries_for(interactions)
+                    if self.loss == "bpr"
+                    else 8
+                )
             )
         )
         batch_size = choose_batch_size(len(interactions.data), self.batch_size)
@@ -983,6 +1012,11 @@ class LightFM:
             "table_partition": self.table_partition,
             "shard_examples": self.shard_examples,
             "example_shuffle": getattr(self, "example_shuffle", "global"),
+            "fast_path": getattr(self, "fast_path", "auto"),
+            "pool_kernels": getattr(self, "pool_kernels", "auto"),
+            "user_pallas": getattr(self, "user_pallas", True),
+            "fast_precision": getattr(self, "fast_precision", "highest"),
+            "shuffle_mode": getattr(self, "shuffle_mode", "feistel"),
         }
 
     def __sklearn_tags__(self):
@@ -1039,6 +1073,12 @@ class LightFM:
         self.__dict__.update(d)
         self.__dict__.setdefault("mesh", None)
         self.__dict__.setdefault("example_shuffle", "global")
+        # Fast-path knobs added in 0.4.0; older pickles predate them.
+        self.__dict__.setdefault("fast_path", "auto")
+        self.__dict__.setdefault("pool_kernels", "auto")
+        self.__dict__.setdefault("user_pallas", True)
+        self.__dict__.setdefault("fast_precision", "highest")
+        self.__dict__.setdefault("shuffle_mode", "feistel")
         self.__dict__.setdefault("_serving_cache", {})
         self.__dict__["_host_mirrors"] = {}
         self.__dict__["_mirror_snaps"] = {}

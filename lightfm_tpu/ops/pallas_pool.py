@@ -28,9 +28,13 @@ Replaces the negative-sampling inner loop of ``fit_warp``/``fit_bpr``
 (`_lightfm_fast.pyx.template:855-899, 1123-1158`) at the block level.
 
 STATUS — correctness validated in interpret mode and on the CPU backend
-(differential vs the einsum formulation, tests/test_pallas_pool.py); real
-v5e A/B pending hardware access.  Opt-in via LIGHTFM_TPU_POOL_KERNELS=1
-(fast_warp wires them; default stays the einsum path until measured).
+(differential vs the einsum formulation, tests/test_pallas_pool.py) and
+all entry points execute standalone on v5e at production shapes
+(tools/pool_select_debug.py).  Selectable per model via the
+``pool_kernels="kernels"`` hyperparameter (or LIGHTFM_TPU_POOL_KERNELS=1
+override); ``"auto"`` stays the einsum path until the composed-epoch
+hardware A/B at the bench shape proves a win (round 3's kernels-default
+bench run died with a runtime INVALID_ARGUMENT — BENCH_r03).
 """
 
 from __future__ import annotations

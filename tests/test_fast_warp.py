@@ -41,8 +41,9 @@ def planted():
 @pytest.fixture(autouse=True)
 def _force_fast_path(monkeypatch):
     """Eligibility defaults to TPU backends only; force it on so the CPU
-    suite exercises the fast path through the public fit API."""
-    monkeypatch.setattr(fw, "_MODE", "1")
+    suite exercises the fast path through the public fit API (the env var
+    overrides every model's fast_path knob at fit time)."""
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP", "1")
 
 
 def test_eligibility_gate(planted):
@@ -282,6 +283,68 @@ def test_fast_path_zero_sample_weights_are_noops(planted):
     assert m._staged_fast
     assert np.array_equal(np.asarray(m._state.item_table), np.asarray(before.item_table))
     assert np.array_equal(np.asarray(m._state.user_table), np.asarray(before.user_table))
+
+
+def test_fast_knobs_per_model_in_one_process(planted, monkeypatch):
+    """The fast-path knobs are per-model hyperparameters: two models with
+    different pool/shuffle modes A/B in ONE process (round-3 verdict #5 —
+    previously impossible: the knobs were frozen at import from env)."""
+    mk = LightFM(loss="warp", no_components=64, random_state=10,
+                 pool_kernels="kernels")
+    me = LightFM(loss="warp", no_components=64, random_state=10,
+                 pool_kernels="einsum")
+    mk.fit(planted, epochs=1)
+    me.fit(planted, epochs=1)
+    assert mk._staged_fast == "kernels"
+    assert me._staged_fast == "einsum"
+
+    ms = LightFM(loss="warp", no_components=64, random_state=10,
+                 shuffle_mode="sort", user_pallas=False,
+                 fast_precision="default")
+    ms.fit(planted, epochs=1)
+    assert ms._staged_fast  # trains fine with every knob flipped
+    assert ms._staged_hp.shuffle_mode == "sort"
+    assert ms._staged_hp.user_pallas is False
+    assert ms._staged_hp.fast_precision == "default"
+
+    # Env vars override per-model values at FIT time (process-wide A/B).
+    monkeypatch.setenv("LIGHTFM_TPU_POOL_KERNELS", "1")
+    me2 = LightFM(loss="warp", no_components=64, random_state=10,
+                  pool_kernels="einsum")
+    me2.fit(planted, epochs=1)
+    assert me2._staged_fast == "kernels"
+    # get_params still reports the constructor value (sklearn semantics).
+    assert me2.get_params()["pool_kernels"] == "einsum"
+
+
+def test_fast_knobs_round_trip_params_pickle_checkpoint(tmp_path):
+    """All five knobs appear in get_params, survive pickling, and round-trip
+    through checkpoint.save_model/load_model."""
+    import pickle
+
+    from lightfm_tpu.checkpoint import load_model, save_model
+
+    kw = dict(fast_path="on", pool_kernels="kernels", user_pallas=False,
+              fast_precision="default", shuffle_mode="sort")
+    m = LightFM(loss="warp", random_state=10, **kw)
+    for k, v in kw.items():
+        assert m.get_params()[k] == v, k
+
+    m2 = pickle.loads(pickle.dumps(m))
+    for k, v in kw.items():
+        assert getattr(m2, k) == v, k
+
+    path = str(tmp_path / "ckpt.npz")
+    save_model(m, path)
+    m3 = load_model(path)
+    for k, v in kw.items():
+        assert getattr(m3, k) == v, k
+
+    # Invalid values are rejected at construction (Hyperparams asserts).
+    for bad in (dict(fast_path="yes"), dict(pool_kernels="pallas"),
+                dict(fast_precision="bf16"), dict(shuffle_mode="random")):
+        with pytest.raises(ValueError):
+            LightFM(loss="warp", **bad)
 
 
 def test_bpr_eligibility(planted):

@@ -107,7 +107,7 @@ def test_fast_path_matches_sequential_oracle(loss, monkeypatch):
     is forced (the oracle dataset is below the production size gate)."""
     import lightfm_tpu.fast_warp as fw
 
-    monkeypatch.setattr(fw, "_MODE", "1")
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP", "1")
     monkeypatch.setattr(fw, "MIN_TABLE_ELEMS", 0)
     m = LightFM(loss=loss, learning_schedule="adagrad", random_state=SEED)
     m.fit(_train.tocoo(), epochs=EPOCHS)

@@ -72,11 +72,10 @@ def test_composed_fast_epoch_lowers_for_tpu(loss, mode, monkeypatch):
     lower for TPU in every fast mode and eligible loss."""
     import scipy.sparse as sp
 
-    import lightfm_tpu.fast_warp as fw
     from lightfm_tpu import LightFM
     from lightfm_tpu.train import run_epochs
 
-    monkeypatch.setattr(fw, "_MODE", "1")
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP", "1")
     rng = np.random.RandomState(0)
     nnz, n_users, n_items = 32768, 4000, 8192
     coo = sp.coo_matrix(
