@@ -309,20 +309,24 @@ def _bench_one_loss(
     _ = float(jnp.sum(state.item_table))
     steady_wall = time.perf_counter() - t0
 
-    # A/B the alternate fast mode (pool einsums vs Pallas pool kernels)
-    # on the SAME staged data; both timings are reported and the better
-    # one carries the steady headline.  The alternate run uses throwaway
-    # state so the accuracy-guard trajectory below stays the primary
-    # mode's.  A Mosaic failure in the experimental mode must not sink
-    # the bench: it is caught and recorded.
+    # A/B an alternate mode on the SAME staged data; both timings are
+    # reported and the better one carries the steady headline.  The
+    # alternate run uses throwaway state so the accuracy-guard trajectory
+    # below stays the primary mode's.
+    #
+    # The Pallas pool-kernels mode is NEVER launched from this harness:
+    # its composed-epoch runtime INVALID_ARGUMENT on v5e POISONS THE TPU
+    # CLIENT — every subsequent device op in the process fails, which is
+    # how BENCH_r03 lost its whole large_scale block (an in-process
+    # try/except cannot contain it).  If the primary mode somehow IS
+    # kernels (explicit user knob), fall to einsum; measure kernels only
+    # via the out-of-process tools/pool_kernels_ab.py.
     steady_mode = str(fast)
-    # Pairwise losses A/B the two fast modes (pool einsums vs Pallas
-    # pool kernels).  Logistic's fast path has no pool (its two modes
-    # trace the same graph), so it A/Bs fast vs the GENERIC path
-    # instead — its sorted-update win is unproven on hardware.
     if loss in ("warp", "bpr"):
-        alt = {"einsum": "kernels", "kernels": "einsum"}.get(fast)
+        alt = {"kernels": "einsum"}.get(fast, False if fast else None)
     else:
+        # Logistic's fast path has no pool (its two modes trace the same
+        # graph), so it A/Bs fast vs the GENERIC path instead.
         alt = False if fast else None
     steady_by_mode = {steady_mode: steady_wall}
     if alt is not None:

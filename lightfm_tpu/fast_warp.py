@@ -145,7 +145,10 @@ def _precision(hp: Hyperparams):
     }[hp.fast_precision]
 
 
-def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: int):
+def fast_warp_eligible(
+    hp: Hyperparams, data, mesh, shuffle: str, batch_size: int,
+    table_partition: str = "replicated", shard_examples: bool = False,
+):
     """Static gate for the specialised path (trace-time decision).
 
     Covers WARP and BPR (both pairwise losses share the pool/sort
@@ -157,6 +160,13 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
     pool kernels) — which flows into the jitted epoch as part of the
     static ``fast`` argument, so flipping the kernel gate retraces instead
     of silently reusing the other mode's executable.
+
+    With a mesh the path runs DATA-PARALLEL under shard_map (replicated
+    tables, batch split over the ``data`` axis; see `fast_epoch`), gated
+    on the layouts that keep it exact: replicated tables, replicated
+    examples, a global shuffle, and shard-divisible batches (for pairwise
+    losses each shard must cover whole pool cycles so the slot math is
+    offset-free).
     """
     if not _enabled(hp):
         return False
@@ -166,8 +176,21 @@ def fast_warp_eligible(hp: Hyperparams, data, mesh, shuffle: str, batch_size: in
         return False
     if hp.item_alpha != 0.0 or hp.user_alpha != 0.0:
         return False
-    if mesh is not None or shuffle != "global":
+    if shuffle != "global":
         return False
+    if mesh is not None:
+        if table_partition != "replicated" or shard_examples:
+            return False
+        if "data" not in mesh.axis_names:
+            return False
+        n_data = mesh.shape["data"]
+        if batch_size % n_data != 0:
+            return False
+        local_b = batch_size // n_data
+        # Pairwise losses: every shard must hold a whole number of pool
+        # cycles (slot = global_pos % P stays offset-free per shard).
+        if hp.loss != "logistic" and local_b % min(POOL_SIZE, batch_size):
+            return False
     if not isinstance(data.user_feats, IdentityRows):
         return False
     if not isinstance(data.item_feats, IdentityRows):
@@ -423,6 +446,15 @@ def _apply_pool_updates(
     )
 
 
+def _gather_grads(axis_name, *arrays):
+    """All-gather per-shard gradient/id streams back to full batch order
+    (shard r holds global slice r, so tiled gathers restore the global
+    item-sorted order the update kernels require)."""
+    return tuple(
+        jax.lax.all_gather(a, axis_name, axis=0, tiled=True) for a in arrays
+    )
+
+
 def warp_pool_step(
     state: ModelState,
     batch: Batch,
@@ -437,17 +469,26 @@ def warp_pool_step(
     use_pallas: bool,
     user_pallas: bool,
     pool_kernels: bool = False,
+    n_shards: int = 1,
+    axis_name=None,
 ) -> ModelState:
     """One fast-path WARP step over an ITEM-SORTED batch.
 
     Semantics per example match `losses.warp_step` (first margin violator
     among K draws; rank-weighted, clipped loss; template:784-912) with the
     pool negative source documented in the module docstring.
+
+    Under shard_map (``axis_name`` set) the batch arrays hold this shard's
+    contiguous slice of the global item-sorted batch: the forward pass and
+    gradients are computed locally (the expensive row gathers parallelize
+    n_shards ways against the replicated tables), then the gradient
+    streams are all-gathered / pool folds psum'd and the table updates
+    applied identically on every shard — exactly the single-chip update.
     """
     uid, pos_ids = batch.user_ids, batch.item_ids
     B = uid.shape[0]
     K = hp.max_sampled
-    P = min(POOL_SIZE, B)
+    P = min(POOL_SIZE, B * n_shards)
     Q = B // P
     W = state.item_table.shape[1]
     kp, kr = jax.random.split(key)
@@ -515,6 +556,11 @@ def warp_pool_step(
     gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
     gu = lossm[:, None] * with_unit_bias(nrep - prep)  # [B, W]
 
+    if axis_name is not None:
+        gi, gu, uid, pos_ids = _gather_grads(axis_name, gi, gu, uid, pos_ids)
+        gp = jax.lax.psum(gp, axis_name)
+        gp2 = jax.lax.psum(gp2, axis_name)
+
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
@@ -535,6 +581,8 @@ def bpr_pool_step(
     use_pallas: bool,
     user_pallas: bool,
     pool_kernels: bool = False,
+    n_shards: int = 1,
+    axis_name=None,
 ) -> ModelState:
     """One fast-path BPR step over an ITEM-SORTED batch.
 
@@ -544,12 +592,14 @@ def bpr_pool_step(
     is not one of the user's positives, falling through to the last draw.
     The pool holds empirical draws (``train_items`` at random positions);
     selection needs no scores, so only the chosen candidate is scored.
+    Sharded execution mirrors `warp_pool_step` (local forward, gathered
+    updates).
     """
     del n_items
     uid, pos_ids = batch.user_ids, batch.item_ids
     B = uid.shape[0]
     T = hp.bpr_tries
-    P = min(POOL_SIZE, B)
+    P = min(POOL_SIZE, B * n_shards)
     Q = B // P
     W = state.item_table.shape[1]
     kp, kr = jax.random.split(key)
@@ -605,6 +655,11 @@ def bpr_pool_step(
     gi = lossm[:, None] * u1
     gu = lossm[:, None] * with_unit_bias(nrep - prep)
 
+    if axis_name is not None:
+        gi, gu, uid, pos_ids = _gather_grads(axis_name, gi, gu, uid, pos_ids)
+        gp = jax.lax.psum(gp, axis_name)
+        gp2 = jax.lax.psum(gp2, axis_name)
+
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
@@ -620,6 +675,7 @@ def logistic_sorted_step(
     *,
     use_pallas: bool,
     user_pallas: bool,
+    axis_name=None,
 ) -> ModelState:
     """One fast-path LOGISTIC step over an ITEM-SORTED batch.
 
@@ -628,6 +684,8 @@ def logistic_sorted_step(
     value > 0, gradient ``weight * (pred - y)``; there is no negative
     sampling, so the pool machinery is unused — the win is purely the
     sorted Pallas table updates replacing the duplicate-index scatters.
+    Sharded execution mirrors `warp_pool_step` (local forward, gathered
+    updates).
     """
     uid, iid = batch.user_ids, batch.item_ids
     u = state.user_table[uid]  # [B, W]
@@ -639,6 +697,9 @@ def logistic_sorted_step(
     # _apply_pointwise's fused [emb grads | bias grad] layout.
     gi = loss[:, None] * with_unit_bias(u)  # [B, W]
     gu = loss[:, None] * with_unit_bias(irep)
+
+    if axis_name is not None:
+        gi, gu, uid, iid = _gather_grads(axis_name, gi, gu, uid, iid)
 
     prec = _precision(hp)
     item_table, item_acc = _sorted_update(
@@ -665,13 +726,22 @@ def logistic_sorted_step(
 
 def fast_epoch(
     state: ModelState, data, key, hp: Hyperparams, batch_size: int,
-    mode="einsum",
+    mode="einsum", mesh=None,
 ):
     """One fast-path epoch: triple-sort shuffle + scan over sorted batches.
 
     ``mode`` is the static value from `fast_warp_eligible`: ``"kernels"``
     runs the Pallas pool kernels, anything else truthy the rolled-einsum
     formulation (``True`` from older callers behaves like "einsum").
+
+    With a ``mesh`` (replicated tables + replicated examples; gated by
+    `fast_warp_eligible`), each step runs under shard_map over the
+    ``data`` axis: the shuffle and table updates are computed identically
+    on every device, while the per-example forward/gradient work — the
+    row gathers and pool contractions that dominate the step — is split
+    over the batch.  The all-gathered update streams make the applied
+    update numerically identical to the single-chip step (the psum'd pool
+    folds sum the same per-example terms in shard order).
     """
     pool_kernels = mode == "kernels"
     n_pad = data.packed.shape[1]
@@ -685,28 +755,79 @@ def fast_epoch(
     n_items = data.item_feats.n_rows
     use_pallas = jax.default_backend() == "tpu"
     user_pallas = hp.user_pallas
+    n_data = mesh.shape["data"] if mesh is not None else 1
 
-    def body(state, xs):
-        packed, su, sg, bkey = xs
-        batch = _unpack_batch5(packed)
+    def step(state, batch, su, sg, bkey, positives, train_items, axis_name):
         if hp.loss == "logistic":
-            state = logistic_sorted_step(
+            return logistic_sorted_step(
                 state, batch, su, sg, hp,
                 use_pallas=use_pallas, user_pallas=user_pallas,
+                axis_name=axis_name,
             )
-        elif hp.loss == "bpr":
-            state = bpr_pool_step(
-                state, batch, data.positives, data.train_items, su, sg, hp,
+        if hp.loss == "bpr":
+            return bpr_pool_step(
+                state, batch, positives, train_items, su, sg, hp,
                 bkey, n_items=n_items, use_pallas=use_pallas,
                 user_pallas=user_pallas, pool_kernels=pool_kernels,
+                n_shards=n_data, axis_name=axis_name,
             )
-        else:
-            state = warp_pool_step(
-                state, batch, data.positives, su, sg, hp, bkey,
-                n_items=n_items, use_pallas=use_pallas,
-                user_pallas=user_pallas, pool_kernels=pool_kernels,
+        return warp_pool_step(
+            state, batch, positives, su, sg, hp, bkey,
+            n_items=n_items, use_pallas=use_pallas,
+            user_pallas=user_pallas, pool_kernels=pool_kernels,
+            n_shards=n_data, axis_name=axis_name,
+        )
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        def rep_specs(tree):
+            return jax.tree.map(lambda x: PS(*([None] * jnp.ndim(x))), tree)
+
+        def sharded_step(state, packed, su, sg, bkey, positives, train_items):
+            return step(
+                state, _unpack_batch5(packed), su, sg, bkey,
+                positives, train_items, "data",
             )
-        return state, None
+
+        step_sm = shard_map(
+            sharded_step,
+            mesh=mesh,
+            in_specs=(
+                rep_specs(state),
+                PS(None, "data"),  # packed [5, B]: split the batch
+                PS(None),  # suid: full batch (update side)
+                PS(None),  # sigma
+                PS(),  # key
+                rep_specs(data.positives),
+                rep_specs(data.train_items),
+            ),
+            out_specs=rep_specs(state),
+            check_vma=False,
+        )
+
+        def body(state, xs):
+            packed, su, sg, bkey = xs
+            return (
+                step_sm(
+                    state, packed, su, sg, bkey,
+                    data.positives, data.train_items,
+                ),
+                None,
+            )
+    else:
+
+        def body(state, xs):
+            packed, su, sg, bkey = xs
+            batch = _unpack_batch5(packed)
+            return (
+                step(
+                    state, batch, su, sg, bkey,
+                    data.positives, data.train_items, None,
+                ),
+                None,
+            )
 
     state, _ = jax.lax.scan(body, state, (shuffled, suid, sigma, keys))
     return state

@@ -660,7 +660,9 @@ class LightFM:
         from lightfm_tpu.fast_warp import fast_warp_eligible
 
         fast = fast_warp_eligible(
-            hp, data, self.mesh, self.example_shuffle, batch_size
+            hp, data, self.mesh, self.example_shuffle, batch_size,
+            table_partition=self.table_partition,
+            shard_examples=self.shard_examples,
         )
 
         # Staged device-resident training set, exposed so callers (warm

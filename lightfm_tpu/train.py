@@ -275,7 +275,8 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global", fast=False)
     if fast:
         from lightfm_tpu.fast_warp import fast_epoch
 
-        return fast_epoch(state, data, key, hp, batch_size, mode=fast)
+        return fast_epoch(state, data, key, hp, batch_size, mode=fast,
+                          mesh=mesh)
 
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size

@@ -147,6 +147,37 @@ def main():
 
     print(f"pool scores einsum  : {per_step(timeit(f_scores_einsum, item_table, (u1, pool_ids, shifts)))}", flush=True)
 
+    # --- sorted updates ---------------------------------------------------
+    @jax.jit
+    def f_upd(table, acc, xs):
+        def body(c, x):
+            t, a = c
+            ids, g = x
+            t, a = sorted_adagrad_update_pallas(t, a, ids, g, learning_rate=LR, interpret=INTERPRET)
+            return (t, a), None
+        return jax.lax.scan(body, (table, acc), xs)[0]
+
+    print(f"item sorted update  : {per_step(timeit(f_upd, item_table, item_acc, (pid, wg)))}", flush=True)
+    print(f"user sorted update  : {per_step(timeit(f_upd, user_table, user_acc, (suid, wg)))}", flush=True)
+
+    # --- shuffle sorts (per epoch, amortized) -----------------------------
+    @jax.jit
+    def f_shuffle(packed, key):
+        sh, su, sg = fw.shuffle_item_sorted(packed, key, STEPS, B)
+        return jnp.sum(sh[:, 0, :]) + jnp.sum(su) + jnp.sum(sg)
+
+    t = timeit(f_shuffle, data.packed, jax.random.key(1))
+    print(f"triple-sort shuffle : {t*1e3:7.1f} ms/epoch = {per_step(t)}", flush=True)
+
+    # --- pool Pallas kernels LAST: the composed scores kernel can die with
+    # a runtime INVALID_ARGUMENT that POISONS the TPU client (every
+    # subsequent device op fails), so nothing may run after it.  Skip with
+    # ABLATE_SKIP_POOL_KERNELS=1.
+    import os
+    if os.environ.get("ABLATE_SKIP_POOL_KERNELS") == "1":
+        print("pool pallas kernels : skipped (ABLATE_SKIP_POOL_KERNELS=1)", flush=True)
+        return
+
     @jax.jit
     def f_scores_kern(item_table, xs):
         def body(c, x):
@@ -176,27 +207,6 @@ def main():
     except Exception as e:
         print(f"pool fold pallas FAILED: {e!r}", flush=True)
 
-    # --- sorted updates ---------------------------------------------------
-    @jax.jit
-    def f_upd(table, acc, xs):
-        def body(c, x):
-            t, a = c
-            ids, g = x
-            t, a = sorted_adagrad_update_pallas(t, a, ids, g, learning_rate=LR, interpret=INTERPRET)
-            return (t, a), None
-        return jax.lax.scan(body, (table, acc), xs)[0]
-
-    print(f"item sorted update  : {per_step(timeit(f_upd, item_table, item_acc, (pid, wg)))}", flush=True)
-    print(f"user sorted update  : {per_step(timeit(f_upd, user_table, user_acc, (suid, wg)))}", flush=True)
-
-    # --- shuffle sorts (per epoch, amortized) -----------------------------
-    @jax.jit
-    def f_shuffle(packed, key):
-        sh, su, sg = fw.shuffle_item_sorted(packed, key, STEPS, B)
-        return jnp.sum(sh[:, 0, :]) + jnp.sum(su) + jnp.sum(sg)
-
-    t = timeit(f_shuffle, data.packed, jax.random.key(1))
-    print(f"triple-sort shuffle : {t*1e3:7.1f} ms/epoch = {per_step(t)}", flush=True)
 
 
 if __name__ == "__main__":
