@@ -1,8 +1,15 @@
-.PHONY: test test-fast bench lowering-check multichip-dryrun
+.PHONY: test test-full test-fast bench lowering-check multichip-dryrun
 
-# Full suite on the 8-virtual-device CPU backend (tests/conftest.py).
+# Default CI gate: everything EXCEPT the slow statistical batteries
+# (marked `slow`; see tests/conftest.py) — keeps a sub-5-minute wall on
+# the 1-core CPU host.
 test:
 	python -m pytest tests/ -q
+
+# Weekly-depth run: the full suite including the statistical batteries
+# (oracle parity, accuracy floors, fuzzing, multi-process smoke).
+test-full:
+	python -m pytest tests/ -q --runslow
 
 # Quick signal: API + fast-path + kernel differential tests only.
 test-fast:

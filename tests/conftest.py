@@ -24,9 +24,44 @@ if not _NATIVE and "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 if not _NATIVE:
     try:
         jax.config.update("jax_platforms", "cpu")
     except Exception:  # already initialised on another platform
         pass
+
+
+# --- test tiers ------------------------------------------------------------
+# The statistical batteries (oracle parity, accuracy floors, fuzzing, the
+# multi-process smoke test) dominate suite wall time on this 1-core CPU
+# host.  They are marked `slow` and SKIPPED by default so `pytest -q` stays
+# a sub-5-minute CI gate; run the full depth with `--runslow`
+# (`make test-full`).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run the slow statistical batteries too",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: statistical battery (skipped unless --runslow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow statistical battery; run with --runslow (make test-full)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

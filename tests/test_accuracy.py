@@ -29,6 +29,9 @@ from lightfm_tpu import LightFM
 from lightfm_tpu.datasets import generate_synthetic
 from lightfm_tpu.evaluation import auc_score, precision_at_k
 
+# Statistical battery: skipped by default, run via --runslow (make test-full).
+pytestmark = pytest.mark.slow
+
 SEED = 10
 
 

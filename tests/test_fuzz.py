@@ -13,6 +13,9 @@ import scipy.sparse as sp
 
 from lightfm_tpu import LightFM
 
+# Statistical battery: skipped by default, run via --runslow (make test-full).
+pytestmark = pytest.mark.slow
+
 LOSSES = ["logistic", "bpr", "warp", "warp-kos"]
 
 

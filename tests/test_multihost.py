@@ -16,6 +16,9 @@ import sys
 import numpy as np
 import pytest
 
+# Statistical battery: skipped by default, run via --runslow (make test-full).
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 
 

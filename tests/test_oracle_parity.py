@@ -21,6 +21,9 @@ from lightfm_tpu.datasets import generate_synthetic
 
 from _reference_oracle import SequentialOracle
 
+# Statistical battery: skipped by default, run via --runslow (make test-full).
+pytestmark = pytest.mark.slow
+
 SEED = 10
 EPOCHS = 10
 
