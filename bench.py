@@ -216,11 +216,26 @@ def _run_loss_subprocess(loss, sizes, knobs, timeout_s=2400):
         "--sizes", json.dumps(sizes),
         "--knobs", json.dumps(knobs),
     ]
-    env = dict(os.environ)
-    # Propagate the parent's backend choice: env vars alone are read too
-    # late here (a sitecustomize pins the device platform at startup), so
-    # the child re-applies this at runtime before any other jax call.
-    env["LIGHTFM_TPU_BENCH_PLATFORM"] = jax.default_backend()
+    env = {
+        k: v for k, v in os.environ.items()
+        # The parent folds its LIGHTFM_TPU_* overrides into the first
+        # ladder rung's knobs (`_bench_large_scale`); stripping them here
+        # keeps the explicit per-rung knobs authoritative in the child —
+        # otherwise an inherited override would silently defeat the
+        # einsum/generic fallback rungs (and the "generic" comparison
+        # child would measure the fast path).
+        if not k.startswith("LIGHTFM_TPU_")
+    }
+    # Propagate the parent's PLATFORM CONFIG (e.g. "axon,cpu", or "cpu"
+    # when a smoke caller runtime-forced the CPU backend).  The env var
+    # alone is read too late here (a sitecustomize imports jax at
+    # interpreter startup), so the child re-applies this value at runtime
+    # before any other jax call.  NOTE: this must be the jax_platforms
+    # CONFIG STRING — `jax.default_backend()` returns the backend KIND
+    # ("tpu"), which is not a loadable platform name on aliased plugins.
+    platforms = jax.config.jax_platforms
+    if platforms:
+        env["LIGHTFM_TPU_BENCH_PLATFORM"] = platforms
     r = subprocess.run(
         cmd, capture_output=True, text=True, timeout=timeout_s, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -247,10 +262,16 @@ def _bench_large_scale(
     sort shuffle), then the generic path — so a crash in one mode costs at
     most wall time, never the block.
     """
+    from lightfm_tpu.fast_warp import env_override_fields
+
     sizes = dict(
         n_users=n_users, n_items=n_items, nnz=nnz, D=D,
         batch_size=batch_size,
     )
+    # The parent's LIGHTFM_TPU_* env overrides become rung 1's explicit
+    # knobs; children run with those vars STRIPPED (see
+    # `_run_loss_subprocess`) so the fallback rungs stay authoritative.
+    env_knobs = env_override_fields()
     out = {}
     for loss in ("warp", "logistic", "bpr"):
         failures = []
@@ -258,7 +279,7 @@ def _bench_large_scale(
         # Progressive knob ladder; the first config that completes carries
         # the loss's numbers (and records any configs that failed).
         for knobs in (
-            {},
+            env_knobs,
             {"pool_kernels": "einsum", "shuffle_mode": "sort"},
             {"fast_path": "off"},
         ):
@@ -484,10 +505,9 @@ def _child_main(argv):
     if platform:
         import jax
 
-        try:
-            jax.config.update("jax_platforms", platform)
-        except Exception:
-            pass
+        # Loud on failure: a child silently falling back to the wrong
+        # backend would contaminate the parent's numbers.
+        jax.config.update("jax_platforms", platform)
     loss = args["--large-scale-loss"]
     sizes = json.loads(args.get("--sizes", "{}"))
     knobs = json.loads(args.get("--knobs", "{}"))

@@ -80,16 +80,47 @@ MIN_TABLE_ELEMS = 1 << 19
 # per-model, checkpointable, and part of the jit cache key.  The env vars
 # below OVERRIDE the per-model values at FIT time (process-wide A/B without
 # touching code) — nothing is frozen at import any more.
+_TRUTHY = {"1", "true", "yes", "on"}
+_FALSY = {"0", "false", "no", "off"}
 _ENV_OVERRIDES = (
     # (env var, Hyperparams field, value aliases)
     ("LIGHTFM_TPU_FAST_WARP", "fast_path", {"1": "on", "0": "off"}),
     ("LIGHTFM_TPU_POOL_KERNELS", "pool_kernels",
      {"1": "kernels", "0": "einsum"}),
-    ("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "user_pallas",
-     {"1": True, "0": False}),
+    ("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "user_pallas", None),  # bool
     ("LIGHTFM_TPU_FAST_WARP_PRECISION", "fast_precision", {}),
     ("LIGHTFM_TPU_FAST_SHUFFLE", "shuffle_mode", {}),
 )
+
+
+def env_override_fields() -> dict:
+    """Parse the set LIGHTFM_TPU_* env vars into a Hyperparams-field dict.
+
+    Empty values mean UNSET (``LIGHTFM_TPU_X= cmd`` blanks a var without
+    overriding anything).  Boolean fields accept 1/true/yes/on and
+    0/false/no/off (anything else raises — a silently-truthy string like
+    "false" would invert the request); enum fields pass unrecognised
+    values through to Hyperparams' own validation.
+    """
+    updates = {}
+    for env, field, aliases in _ENV_OVERRIDES:
+        raw = os.environ.get(env)
+        if raw is None or raw == "":
+            continue
+        if aliases is None:  # strict bool field
+            low = raw.strip().lower()
+            if low in _TRUTHY:
+                updates[field] = True
+            elif low in _FALSY:
+                updates[field] = False
+            else:
+                raise ValueError(
+                    f"{env}={raw!r}: expected one of "
+                    f"{sorted(_TRUTHY | _FALSY)}"
+                )
+        else:
+            updates[field] = aliases.get(raw, raw)
+    return updates
 
 
 def apply_env_overrides(hp: Hyperparams) -> Hyperparams:
@@ -102,11 +133,7 @@ def apply_env_overrides(hp: Hyperparams) -> Hyperparams:
     """
     import dataclasses
 
-    updates = {}
-    for env, field, aliases in _ENV_OVERRIDES:
-        raw = os.environ.get(env)
-        if raw is not None:
-            updates[field] = aliases.get(raw, raw)
+    updates = env_override_fields()
     return dataclasses.replace(hp, **updates) if updates else hp
 
 

@@ -347,6 +347,35 @@ def test_fast_knobs_round_trip_params_pickle_checkpoint(tmp_path):
             LightFM(loss="warp", **bad)
 
 
+def test_env_override_value_parsing(monkeypatch):
+    """Empty env values mean UNSET; bool vars accept the usual synonyms
+    and REJECT anything else (a silently-truthy 'false' string would
+    invert the request)."""
+    for var in ("LIGHTFM_TPU_FAST_WARP", "LIGHTFM_TPU_POOL_KERNELS",
+                "LIGHTFM_TPU_FAST_WARP_USER_PALLAS",
+                "LIGHTFM_TPU_FAST_WARP_PRECISION",
+                "LIGHTFM_TPU_FAST_SHUFFLE"):
+        monkeypatch.setenv(var, "")  # blanked vars override nothing
+    assert fw.env_override_fields() == {}
+
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "false")
+    assert fw.env_override_fields() == {"user_pallas": False}
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "ON")
+    assert fw.env_override_fields() == {"user_pallas": True}
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "maybe")
+    with pytest.raises(ValueError, match="USER_PALLAS"):
+        fw.env_override_fields()
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP_USER_PALLAS", "")
+
+    # Enum fields: legacy 1/0 aliases map; junk values surface through
+    # Hyperparams validation at fit time rather than silently training.
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP", "0")
+    assert fw.env_override_fields() == {"fast_path": "off"}
+    monkeypatch.setenv("LIGHTFM_TPU_FAST_WARP", "sometimes")
+    with pytest.raises(ValueError, match="fast_path"):
+        fw.apply_env_overrides(LightFM(loss="warp", random_state=1)._hp())
+
+
 def test_bpr_eligibility(planted):
     m = LightFM(loss="bpr", no_components=64, random_state=10)
     m.fit(planted, epochs=1)

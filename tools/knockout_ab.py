@@ -30,14 +30,6 @@ EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 VARIANT = sys.argv[2] if len(sys.argv) > 2 else "baseline"
 
 
-def keep_alive(state, x):
-    """Tie x into the carry with zero weight so it is computed but its
-    consumer is removed."""
-    return state._replace(
-        item_table=state.item_table + 0.0 * jnp.sum(x)
-    )
-
-
 def main():
     n_users, n_items, nnz, D = 200_000, 100_000, 5_000_000, 64
     coo = _clustered_interactions(n_users, n_items, nnz)
@@ -107,14 +99,7 @@ def main():
         measure("no item updates (pos+pool)")
         return
 
-    def no_pool_update(state, uid, pos_ids, gi, gu, suid, sigma, pool_ids,
-                       gp, gp2, lr, use_pallas, user_pallas, precision):
-        gp = gp * 0.0
-        gp2 = gp2 * 0.0
-        return orig_apply(state, uid, pos_ids, gi, gu, suid, sigma, pool_ids,
-                          gp, gp2, lr, use_pallas, user_pallas, precision)
-
-    # zeroed gp still scatters; knock out the scatter itself instead:
+    # (zeroed-gp variants still scatter; knock out the scatter itself)
     def no_pool_scatter(state, uid, pos_ids, gi, gu, suid, sigma, pool_ids,
                         gp, gp2, lr, use_pallas, user_pallas, precision):
         item_table, item_acc = fw._sorted_update(
@@ -138,7 +123,6 @@ def main():
         return
 
     # --- knockout: membership test ---------------------------------------
-    orig_inpos = fw.in_positives_slots
     if VARIANT == "no_membership":
         fw.in_positives_slots = lambda pos, uid, cand: (
             jnp.zeros(cand.shape, bool) | (0.0 * pos.idx[uid[0], 0] > 1)
@@ -146,15 +130,7 @@ def main():
         measure("no membership test")
         return
 
-    # --- knockout: pool scoring einsum ------------------------------------
-    orig_nrep = fw._nrep_einsum
-
-    def cheap_scores(*a, **k):
-        return orig_nrep(*a, **k)
-
-    # scores: preds computed inside warp_pool_step; knock out via precision?
-    # Instead knock out the fold einsums (gp/gp2) only:
-    orig_fold = fw._fold_gp_einsum
+    # --- knockout: the fold einsums (gp/gp2) ------------------------------
     if VARIANT == "no_fold":
         fw._fold_gp_einsum = lambda sel, u1q, shifts, precision: (
             jnp.zeros((u1q.shape[1], u1q.shape[2]), jnp.float32)
