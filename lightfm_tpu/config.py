@@ -58,10 +58,15 @@ class Hyperparams:
     # Route the user-table update through the sorted Pallas kernel (one
     # extra [B, W] permutation gather) instead of the XLA scatter.
     user_pallas: bool = True
-    # MXU precision for the fast path's scoring/fold contractions.
-    # "highest" keeps them f32 (matching the generic path's gradients);
-    # "default" allows bf16 passes.
-    fast_precision: str = "highest"  # "highest" | "default"
+    # MXU precision for the fast path's scoring/fold/update contractions.
+    # "default" (bf16 inputs, f32 accumulate) is 1.4-1.7x faster than
+    # "highest" (exact-f32 passes) and statistically indistinguishable:
+    # 3-seed x 3-loss hardware A/B at the production shape showed AUC
+    # trajectories identical to 4 decimals and p@10 within seed noise
+    # (tools/precision_ab.py, v5e 2026-08-19).  The reference itself
+    # compiles -ffast-math, so exact-f32 update arithmetic was never part
+    # of parity; "highest" remains selectable for exactness studies.
+    fast_precision: str = "default"  # "default" | "highest"
     # Fast-path epoch-shuffle batch assignment: pointwise Feistel bijection
     # (2 device sorts/epoch) vs sort-based uniform permutation (3 sorts).
     # Changes the RNG consumption pattern, hence part of the model config.

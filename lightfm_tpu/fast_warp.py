@@ -386,9 +386,11 @@ def _fold_gp_einsum(sel, u1q, shifts, precision):
     Q, P, W = u1q.shape
     selq = sel.reshape(K, Q, P)
     sel2q = (sel * sel).reshape(K, Q, P)
-    # hp.fast_precision (default HIGHEST) keeps these contractions f32 on
-    # the MXU, matching the generic path's gradients and the update
-    # kernel's own precision control; "default" allows bf16 for A/B.
+    # hp.fast_precision controls these MXU contractions: "default" (the
+    # shipped default) runs bf16-input/f32-accumulate passes — validated
+    # statistically indistinguishable from exact f32 at 1.4-1.7x speed
+    # (tools/precision_ab.py) — while "highest" keeps them f32 to match
+    # the generic path's gradients bit-for-bit.
     g_roll = jnp.einsum(
         "kqs,qsd->ksd", selq, u1q, precision=precision
     )  # [K, P, W] rolled space
@@ -534,9 +536,12 @@ def warp_pool_step(
     kern_interp = not use_pallas  # CPU/GPU backends: interpret the kernels
     # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
     # trick) + user_bias, exactly _score_candidates' scoring.
-    # hp.fast_precision (default HIGHEST) keeps candidate scores f32 like
-    # the generic path's `_score_candidates`, so margin-violator selection
-    # does not drift on bf16 MXU passes.  The Pallas kernel path computes
+    # hp.fast_precision: at "highest" candidate scores are f32 like the
+    # generic path's `_score_candidates`; at the shipped "default" they
+    # take bf16 MXU passes, which shifts individual margin-violator picks
+    # but not the training statistics (3-seed A/B: AUC trajectories
+    # identical to 4 decimals — tools/precision_ab.py).  The Pallas
+    # kernel path computes
     # the same dots as exact f32 VPU multiply-reduces against the
     # VMEM-resident pool — no [K, P, W] rolled materialization, u1 read
     # once.

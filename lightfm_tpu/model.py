@@ -96,7 +96,7 @@ class LightFM:
         fast_path="auto",
         pool_kernels="auto",
         user_pallas=True,
-        fast_precision="highest",
+        fast_precision="default",
         shuffle_mode="feistel",
     ):
         # Validation mirrors `lightfm/lightfm.py:205-216` (assertions +
@@ -1076,6 +1076,9 @@ class LightFM:
         self.__dict__.setdefault("mesh", None)
         self.__dict__.setdefault("example_shuffle", "global")
         # Fast-path knobs added in 0.4.0; older pickles predate them.
+        # fast_precision migrates to "highest" (not the 0.4.0 "default"):
+        # pre-0.4.0 models trained under the old import-time default, so
+        # resuming one keeps its numerics.
         self.__dict__.setdefault("fast_path", "auto")
         self.__dict__.setdefault("pool_kernels", "auto")
         self.__dict__.setdefault("user_pallas", True)

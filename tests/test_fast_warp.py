@@ -300,12 +300,12 @@ def test_fast_knobs_per_model_in_one_process(planted, monkeypatch):
 
     ms = LightFM(loss="warp", no_components=64, random_state=10,
                  shuffle_mode="sort", user_pallas=False,
-                 fast_precision="default")
+                 fast_precision="highest")
     ms.fit(planted, epochs=1)
     assert ms._staged_fast  # trains fine with every knob flipped
     assert ms._staged_hp.shuffle_mode == "sort"
     assert ms._staged_hp.user_pallas is False
-    assert ms._staged_hp.fast_precision == "default"
+    assert ms._staged_hp.fast_precision == "highest"
 
     # Env vars override per-model values at FIT time (process-wide A/B).
     monkeypatch.setenv("LIGHTFM_TPU_POOL_KERNELS", "1")
@@ -325,7 +325,7 @@ def test_fast_knobs_round_trip_params_pickle_checkpoint(tmp_path):
     from lightfm_tpu.checkpoint import load_model, save_model
 
     kw = dict(fast_path="on", pool_kernels="kernels", user_pallas=False,
-              fast_precision="default", shuffle_mode="sort")
+              fast_precision="highest", shuffle_mode="sort")
     m = LightFM(loss="warp", random_state=10, **kw)
     for k, v in kw.items():
         assert m.get_params()[k] == v, k
