@@ -75,22 +75,25 @@ def _update_kernel(
     table_out,
     acc_out,
     # scratch
-    sum_wg,  # VMEM [BLOCK_R, W]
-    sum_wg2,  # VMEM [BLOCK_R, W]
+    sums,  # VMEM [BLOCK_R, 2W]: [:, :W] sum_wg, [:, W:] sum_wg2
     *,
     learning_rate: float,
     precision: jax.lax.Precision,
 ):
     i = pl.program_id(0)
     block_start = block_of[i] * BLOCK_R
+    W = table_ref.shape[1]
 
     @pl.when(flags[i, 0] == 1)
     def _init():
-        sum_wg[...] = jnp.zeros_like(sum_wg)
-        sum_wg2[...] = jnp.zeros_like(sum_wg2)
+        sums[...] = jnp.zeros_like(sums)
 
     local = idx_ref[:] - block_start  # [CHUNK]
     wg = wg_ref[...]
+    # One stacked [CHUNK, 2W] payload: each tile then needs a SINGLE
+    # one-hot MXU pass for both the gradient and squared-gradient sums
+    # (halves the dot count; wg*wg is also hoisted out of the tile loop).
+    wgs = jnp.concatenate([wg, wg * wg], axis=1)
     # Sorted touches: only tiles intersecting [min, max] do any work.
     lo = jnp.min(local)
     hi = jnp.max(jnp.where(local < BLOCK_R, local, -1))
@@ -108,19 +111,12 @@ def _update_kernel(
         # f32 accumulate) at ~6x the MXU rate.  The one-hot operand is 0/1
         # either way, so DEFAULT's only rounding is a bf16 truncation of
         # each gradient before the (exact, f32) summation.
-        d1 = jnp.dot(
-            oh, wg,
+        d = jnp.dot(
+            oh, wgs,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        d2 = jnp.dot(
-            oh, wg * wg,
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        off = pl.ds(t * TILE_R, TILE_R)
-        sum_wg[off, :] += d1
-        sum_wg2[off, :] += d2
+        sums[pl.ds(t * TILE_R, TILE_R), :] += d
         return 0
 
     jax.lax.fori_loop(t_lo, t_hi, tile_body, 0)
@@ -129,8 +125,9 @@ def _update_kernel(
     def _finalize():
         acc_pre = acc_ref[...]
         lr = learning_rate * jax.lax.rsqrt(acc_pre)
-        table_out[...] = table_ref[...] - lr * sum_wg[...]
-        acc_out[...] = acc_pre + sum_wg2[...]
+        s = sums[...]
+        table_out[...] = table_ref[...] - lr * s[:, :W]
+        acc_out[...] = acc_pre + s[:, W:]
 
 
 @functools.partial(
@@ -269,8 +266,7 @@ def sorted_adagrad_update_pallas(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BLOCK_R, W), jnp.float32),
-            pltpu.VMEM((BLOCK_R, W), jnp.float32),
+            pltpu.VMEM((BLOCK_R, 2 * W), jnp.float32),
         ],
     )
 
