@@ -181,20 +181,32 @@ def main():
     idx = jnp.asarray(rng.randint(0, R, (STEPS, B)).astype(np.int32))
     sidx = jnp.sort(idx, axis=1)
 
-    # Correctness first (single step, all variants vs XLA).
+    # Correctness first (single step, each variant isolated so a Mosaic
+    # compile failure in one cannot take down the others' measurements —
+    # the per-row DMA variant is KNOWN not to compile on real v5e: HBM
+    # memref slices must be 128-lane aligned and rows are W=72).
+    dma_ok = True
     want = np.asarray(table)[np.asarray(idx[0])]
-    got_dma = np.asarray(dma_gather(table, idx[0], interpret=interpret))
-    np.testing.assert_array_equal(got_dma, want)
+    try:
+        got_dma = np.asarray(dma_gather(table, idx[0], interpret=interpret))
+        np.testing.assert_array_equal(got_dma, want)
+    except Exception as e:
+        dma_ok = False
+        print(f"dma variant unavailable: {repr(e)[:160]}", flush=True)
     # Slab precondition: every sorted chunk's row span fits in SLAB (holds
     # for B >= R uniform touches, the production shape; checked explicitly).
     s_np = np.asarray(sidx[0]).reshape(-1, CHUNK)
     slab_ok = int((s_np.max(axis=1) - s_np.min(axis=1)).max()) < SLAB
     if slab_ok:
-        want_s = np.asarray(table)[np.asarray(sidx[0])]
-        got_slab = np.asarray(
-            slab_gather_sorted(table, sidx[0], interpret=interpret)
-        )
-        np.testing.assert_allclose(got_slab, want_s, rtol=1e-6)
+        try:
+            want_s = np.asarray(table)[np.asarray(sidx[0])]
+            got_slab = np.asarray(
+                slab_gather_sorted(table, sidx[0], interpret=interpret)
+            )
+            np.testing.assert_allclose(got_slab, want_s, rtol=1e-6)
+        except Exception as e:
+            slab_ok = False
+            print(f"slab variant unavailable: {repr(e)[:160]}", flush=True)
     else:
         print(f"slab variant skipped: chunk span exceeds SLAB={SLAB}")
     print("correctness OK", flush=True)
@@ -207,11 +219,12 @@ def main():
     print(f"xla random : {per_row(t)}", flush=True)
     t = timeit(xla_gather, table, sidx)
     print(f"xla sorted : {per_row(t)}", flush=True)
-    try:
-        t = timeit(dma_gather_steps, table, idx)
-        print(f"dma random : {per_row(t)}", flush=True)
-    except Exception as e:
-        print(f"dma FAILED: {e!r}", flush=True)
+    if dma_ok:
+        try:
+            t = timeit(dma_gather_steps, table, idx)
+            print(f"dma random : {per_row(t)}", flush=True)
+        except Exception as e:
+            print(f"dma FAILED: {e!r}", flush=True)
     if slab_ok:
         try:
             t = timeit(slab_gather_steps, table, sidx)
