@@ -315,9 +315,34 @@ def _epoch(state, data, key, hp, batch_size, mesh, shuffle="global", fast=False)
     return state
 
 
+# The jitted cores are wrapped in plain-Python entry points that
+# CANONICALISE THE ARGUMENT BINDING (everything positional).  jax.jit's
+# tracing cache keys on how arguments were bound, not just their values:
+# `run_epochs(..., fast=f)` relying on mesh/shuffle defaults and
+# `run_epochs(..., mesh=None, shuffle="global", fast=f)` compile TWO
+# executables of the same program.  On the v5e runtime, dispatching a
+# second distinct fast-epoch executable in one process intermittently
+# poisons the TPU client (runtime INVALID_ARGUMENT on every later op) —
+# it took down 12/12 default-config bench children before this wrapper
+# collapsed fit's call and the benchmark tools' calls into one entry.
+
+
 @functools.partial(
     jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle", "fast")
 )
+def _run_epoch_jit(
+    state: ModelState,
+    data: TrainData,
+    key: jax.Array,
+    hp: Hyperparams,
+    batch_size: int,
+    mesh,
+    shuffle: str,
+    fast,
+) -> ModelState:
+    return _epoch(state, data, key, hp, batch_size, mesh, shuffle, fast)
+
+
 def run_epoch(
     state: ModelState,
     data: TrainData,
@@ -328,21 +353,24 @@ def run_epoch(
     shuffle: str = "global",
     fast=False,  # False | True/"einsum" | "kernels" (static; see _epoch)
 ) -> ModelState:
-    return _epoch(state, data, key, hp, batch_size, mesh, shuffle, fast)
+    """Single-epoch dispatch (the verbose per-epoch fit loop)."""
+    return _run_epoch_jit(
+        state, data, key, hp, batch_size, mesh, shuffle, fast
+    )
 
 
 @functools.partial(
     jax.jit, static_argnames=("hp", "batch_size", "mesh", "shuffle", "fast")
 )
-def run_epochs(
+def _run_epochs_jit(
     state: ModelState,
     data: TrainData,
     seeds: jax.Array,  # uint32 [n_epochs], one per epoch from the model RNG
     hp: Hyperparams,
     batch_size: int,
-    mesh=None,
-    shuffle: str = "global",
-    fast=False,  # False | True/"einsum" | "kernels" (static; see _epoch)
+    mesh,
+    shuffle: str,
+    fast,
 ) -> ModelState:
     """Multi-epoch fit in ONE dispatch: scan over per-epoch seeds."""
     if hp.max_sampled == 0 and hp.loss in ("warp", "warp-kos"):
@@ -362,3 +390,20 @@ def run_epochs(
 
     state, _ = jax.lax.scan(body, state, seeds)
     return state
+
+
+def run_epochs(
+    state: ModelState,
+    data: TrainData,
+    seeds: jax.Array,  # uint32 [n_epochs], one per epoch from the model RNG
+    hp: Hyperparams,
+    batch_size: int,
+    mesh=None,
+    shuffle: str = "global",
+    fast=False,  # False | True/"einsum" | "kernels" (static; see _epoch)
+) -> ModelState:
+    """Multi-epoch fit in ONE dispatch (canonical-binding wrapper; see the
+    comment above `_run_epoch_jit`)."""
+    return _run_epochs_jit(
+        state, data, seeds, hp, batch_size, mesh, shuffle, fast
+    )

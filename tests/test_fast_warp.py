@@ -347,6 +347,40 @@ def test_fast_knobs_round_trip_params_pickle_checkpoint(tmp_path):
             LightFM(loss="warp", **bad)
 
 
+def test_run_epochs_single_executable_across_bindings(planted):
+    """Every calling convention of run_epochs must hit ONE jit cache entry.
+
+    jax.jit keys its tracing cache on the argument BINDING, not just the
+    values: kwargs-vs-defaults (fit vs the bench/tools call style) used to
+    compile two executables of the same program, and dispatching a second
+    distinct fast-epoch executable intermittently poisons the v5e TPU
+    client (the BENCH_r03 failure class).  The plain-Python wrappers in
+    train.py canonicalise the binding; this pins that contract."""
+    from lightfm_tpu.train import _run_epochs_jit, run_epochs
+
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=2)  # fit's own call style
+    data, hp, bs = m._staged_train_data, m._staged_hp, m._staged_batch_size
+    fast = m._staged_fast
+    # Other tests (and fit above) legitimately populate entries for OTHER
+    # configs; the contract is that these call styles add NONE beyond
+    # fit's own.  fit used epoch-count 2, so seeds must be length 2 here
+    # (a different scan length is a genuinely different program).
+    seeds = jnp.arange(2, dtype=jnp.uint32)
+    base = _run_epochs_jit._cache_size()  # right after fit's own call
+    run_epochs(m._state, data, seeds, hp, bs, fast=fast)  # defaults
+    assert _run_epochs_jit._cache_size() == base  # fit vs bare: one entry
+    run_epochs(
+        m._state, data, seeds, hp, bs, mesh=None, shuffle="global", fast=fast
+    )  # explicit kwargs
+    # A fresh-but-equal Hyperparams (what a new model / checkpoint reload
+    # produces) must also hit the same entry.
+    run_epochs(
+        m._state, data, seeds, fw.apply_env_overrides(m._hp()), bs, fast=fast
+    )
+    assert _run_epochs_jit._cache_size() == base
+
+
 def test_env_override_value_parsing(monkeypatch):
     """Empty env values mean UNSET; bool vars accept the usual synonyms
     and REJECT anything else (a silently-truthy 'false' string would
