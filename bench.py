@@ -242,7 +242,7 @@ def _run_loss_subprocess(loss, sizes, knobs, timeout_s=2400):
     )
     if r.returncode != 0:
         raise RuntimeError(
-            f"child rc={r.returncode}: {(r.stderr or r.stdout)[-500:]}"
+            f"child rc={r.returncode}: {(r.stderr or r.stdout)[-1500:]}"
         )
     return json.loads(r.stdout.strip().splitlines()[-1])
 
@@ -288,7 +288,10 @@ def _bench_large_scale(
                     entry = _run_loss_subprocess(loss, sizes, knobs)
                     break
                 except Exception as e:
-                    failures.append({"knobs": knobs, "error": repr(e)[-300:]})
+                    # Keep the TAIL (the exception line is at the end of a
+                    # python traceback) but enough of it to identify the
+                    # failing frame.
+                    failures.append({"knobs": knobs, "error": repr(e)[-900:]})
             if entry is not None:
                 if knobs:
                     entry["fallback_knobs"] = knobs
@@ -390,12 +393,15 @@ def _bench_one_loss(
     # 1. The TPU runtime's INVALID_ARGUMENT failure POISONS THE CLIENT —
     #    every later device op in the process dies (BENCH_r03 lost its
     #    whole block this way), so containment must be process-level.
-    # 2. Running a SECOND DISTINCT fast-epoch executable in one process
-    #    reproducibly triggers that failure (every 2026-08-19 crash fits
-    #    this pattern; generic-then-fast sequences were always clean).
+    # 2. Dispatching a SECOND DISTINCT fast-epoch executable in one
+    #    process triggers that failure.  The library-level root cause
+    #    (jit cache keyed on argument BINDING, so fit() and bare
+    #    run_epochs compiled two executables of the same program) is
+    #    fixed by train.py's canonical-binding wrappers; a deliberate
+    #    alternate-mode A/B would still compile a genuinely different
+    #    program, so mode comparisons stay in separate child runs.
     # Each (loss, knob-config) therefore runs in its own subprocess
-    # (`_run_loss_subprocess`) with exactly ONE fast-epoch executable;
-    # alternate-mode comparisons come from separate child runs.
+    # (`_run_loss_subprocess`) with exactly ONE fast-epoch executable.
     steady_mode = str(fast)
     steady_by_mode = {steady_mode: steady_wall}
 
@@ -505,9 +511,17 @@ def _child_main(argv):
     if platform:
         import jax
 
-        # Loud on failure: a child silently falling back to the wrong
-        # backend would contaminate the parent's numbers.
-        jax.config.update("jax_platforms", platform)
+        # Re-pin ONLY when the child's startup config differs (i.e. the
+        # parent was runtime-forced onto another backend, e.g. a CPU
+        # smoke run).  A redundant update of an already-initialised
+        # platform config re-inits the PJRT plugin, which destabilises
+        # the Pallas-heavy fast-path executables on the axon TPU (12/12
+        # fast children crashed with runtime INVALID_ARGUMENT under the
+        # unconditional pin; generic children survived).  Loud on
+        # failure: a child silently falling back to the wrong backend
+        # would contaminate the parent's numbers.
+        if jax.config.jax_platforms != platform:
+            jax.config.update("jax_platforms", platform)
     loss = args["--large-scale-loss"]
     sizes = json.loads(args.get("--sizes", "{}"))
     knobs = json.loads(args.get("--knobs", "{}"))
