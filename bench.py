@@ -26,6 +26,7 @@ in this environment).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -33,6 +34,52 @@ import numpy as np
 
 
 BASELINE_EXAMPLES_PER_SEC = 19048 * 30 / 0.838  # quickstart wall time
+
+# --- wall-budget + progressive-emission machinery (round-5 hardening) ----
+#
+# Round 4's bench timed out under the driver with ZERO output: the one JSON
+# line printed only at the very end, and each large-scale child had a 2400s
+# timeout (worst case across the retry/fallback ladder: hours).  Three
+# fixes, all here:
+#   1. `_emit` prints the CURRENT full record after every completed stage
+#      (headline, serving, each large-scale loss).  The driver parses the
+#      LAST stdout line, so whatever stage last completed is what gets
+#      recorded even if the process is killed mid-bench.
+#   2. Per-child subprocess timeout capped at 480s and clipped to the
+#      remaining global budget; the large-scale block gets a global wall
+#      budget (default 1500s) and records what it skipped when exhausted.
+#   3. SIGTERM/SIGINT flush the current record before exiting, so even a
+#      signal-kill preserves the best measurement so far.
+
+_CHILD_TIMEOUT_S = 480.0
+_LS_BUDGET_S = float(os.environ.get("LIGHTFM_TPU_BENCH_BUDGET_S", "1500"))
+_CURRENT_RESULT = None
+
+
+def _emit(result=None):
+    global _CURRENT_RESULT
+    if result is not None:
+        _CURRENT_RESULT = result
+    if _CURRENT_RESULT is not None:
+        print(json.dumps(_CURRENT_RESULT), flush=True)
+
+
+def _install_flush_handlers():
+    def _flush_and_exit(signum, frame):
+        if _CURRENT_RESULT is not None:
+            _CURRENT_RESULT.setdefault("detail", {})["signal_flush"] = int(
+                signum
+            )
+            _emit()
+        # 128+signum is the conventional shell exit code for signal death;
+        # exiting 0 here would mask the kill from the driver.
+        sys.exit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _flush_and_exit)
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported platform
 
 # Reference per-thread WARP throughput at D=10 (quickstart: 2 threads,
 # 93% threading efficiency per its wall/CPU split).  Scaling to D=64 costs
@@ -101,7 +148,40 @@ def _clustered_interactions(n_users, n_items, nnz, n_clusters=64, seed=0,
     return coo
 
 
-def _auc_sample(model, train_csr, n_sample=2048, seed=0):
+def _tag_features(n_items, n_tags=2048, tags_per_item=5, seed=3):
+    """Synthetic item tag features for the hybrid rung (the StackExchange /
+    MovieLens-genre shape: identity + a handful of tags per item).
+
+    Each item carries one deterministic "block" tag — items in the same
+    small contiguous block share it, and blocks nest inside the planted
+    cluster preference ranges of `_clustered_interactions`, so preferences
+    are expressible through tags — plus random noise tags.  Identity
+    columns are appended (the reference docs' recommended hybrid setup),
+    giving ~`tags_per_item + 2` nnz per row.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(seed)
+    n_blocks = n_tags // 2
+    block = np.minimum(
+        np.arange(n_items) * n_blocks // n_items, n_blocks - 1
+    )
+    noise = n_blocks + rng.randint(
+        0, n_tags - n_blocks, (n_items, tags_per_item)
+    )
+    cols = np.concatenate([block[:, None], noise], axis=1).ravel()
+    rows = np.repeat(np.arange(n_items), tags_per_item + 1)
+    tags = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols.astype(np.int64))),
+        shape=(n_items, n_tags),
+    ).tocsr()
+    return sp.hstack(
+        [sp.identity(n_items, dtype=np.float32, format="csr"), tags],
+        format="csr",
+    )
+
+
+def _auc_sample(model, train_csr, n_sample=2048, seed=0, item_features=None):
     """Train AUC over a random user sample (accuracy guard at scale).
 
     Rows outside the sample are zeroed; users with no test positives are
@@ -119,7 +199,12 @@ def _auc_sample(model, train_csr, n_sample=2048, seed=0):
     keep[users] = 1.0
     sub = sp.diags(keep).dot(train_csr).tocsr()
     sub.eliminate_zeros()
-    return float(auc_score(model, sub, check_intersections=False).mean())
+    return float(
+        auc_score(
+            model, sub, item_features=item_features,
+            check_intersections=False,
+        ).mean()
+    )
 
 
 # Peak specs for roofline reporting, keyed by a substring of
@@ -196,7 +281,7 @@ def _roofline(loss, entry, *, B, W, nnz, n_users, n_items, pos_width, K):
         )
 
 
-def _run_loss_subprocess(loss, sizes, knobs, timeout_s=2400):
+def _run_loss_subprocess(loss, sizes, knobs, timeout_s=_CHILD_TIMEOUT_S):
     """Bench one loss in a FRESH python process and return its entry dict.
 
     Subprocess isolation is the only containment that works here: the TPU
@@ -249,7 +334,7 @@ def _run_loss_subprocess(loss, sizes, knobs, timeout_s=2400):
 
 def _bench_large_scale(
     detail, n_users=200_000, n_items=100_000, nnz=5_000_000, D=64,
-    batch_size=131072,
+    batch_size=131072, budget_s=_LS_BUDGET_S, emit=None,
 ):
     """Per-loss throughput on the 5M x D=64 production shape (sizes are
     parameters so the harness logic can be smoke-tested at small scale).
@@ -273,51 +358,9 @@ def _bench_large_scale(
     # `_run_loss_subprocess`) so the fallback rungs stay authoritative.
     env_knobs = env_override_fields()
     out = {}
-    for loss in ("warp", "logistic", "bpr"):
-        failures = []
-        entry = None
-        # Progressive knob ladder; the first config that completes carries
-        # the loss's numbers (and records any configs that failed).
-        for knobs in (
-            env_knobs,
-            {"pool_kernels": "einsum", "shuffle_mode": "sort"},
-            {"fast_path": "off"},
-        ):
-            for _attempt in range(2):  # retry once: the crash is flaky
-                try:
-                    entry = _run_loss_subprocess(loss, sizes, knobs)
-                    break
-                except Exception as e:
-                    # Keep the TAIL (the exception line is at the end of a
-                    # python traceback) but enough of it to identify the
-                    # failing frame.
-                    failures.append({"knobs": knobs, "error": repr(e)[-900:]})
-            if entry is not None:
-                if knobs:
-                    entry["fallback_knobs"] = knobs
-                if failures:
-                    entry["failed_attempts"] = failures
-                break
-        # Headline vs-generic evidence: one extra child on the generic
-        # path (its own process — see the one-fast-executable rule in
-        # `_bench_one_loss`).  Informational; a failure costs nothing.
-        if (
-            loss == "warp"
-            and entry is not None
-            and entry.get("steady_mode") not in ("False", "None")
-        ):
-            try:
-                gen = _run_loss_subprocess(
-                    loss, sizes, {"fast_path": "off"}
-                )
-                entry["steady_5epoch_wall_s_by_mode"]["generic"] = gen[
-                    "steady_5epoch_wall_s"
-                ]
-            except Exception as e:
-                entry["steady_5epoch_wall_s_by_mode"]["generic"] = (
-                    f"error: {e!r}"[:200]
-                )
-        out[loss] = entry if entry is not None else {"error": failures}
+    skipped = []
+    # The block is attached to `detail` UP FRONT so progressive emits (and
+    # a signal flush) carry whatever losses have completed so far.
     detail["large_scale"] = {
         "config": (
             f"{nnz}-interactions-{n_users}x{n_items}-D{D}-batch{batch_size}"
@@ -330,16 +373,100 @@ def _bench_large_scale(
         # fields quantify how bandwidth-bound each loss is on the measured
         # device; no cross-device projection is applied to any number.
         "north_star_hardware": "1x v5p (BASELINE.md)",
+        "wall_budget_s": budget_s,
     }
+    deadline = time.perf_counter() + budget_s
+    min_child_s = 120.0  # not worth launching a child with less than this
+
+    def _remaining():
+        return deadline - time.perf_counter()
+
+    def _launch(loss, knobs):
+        return _run_loss_subprocess(
+            loss, sizes, knobs,
+            timeout_s=min(_CHILD_TIMEOUT_S, max(1.0, _remaining())),
+        )
+
+    for loss in ("warp", "logistic", "bpr", "warp-hybrid"):
+        if _remaining() < min_child_s:
+            skipped.append({"loss": loss, "reason": "wall budget exhausted"})
+            continue
+        failures = []
+        entry = None
+        # Progressive knob ladder; the first config that completes carries
+        # the loss's numbers (and records any configs that failed).
+        for knobs in (
+            env_knobs,
+            {"pool_kernels": "einsum", "shuffle_mode": "sort"},
+            {"fast_path": "off"},
+        ):
+            for _attempt in range(2):  # retry once: the crash is flaky
+                if _remaining() < min_child_s:
+                    failures.append(
+                        {"knobs": knobs, "error": "skipped: budget exhausted"}
+                    )
+                    break
+                try:
+                    entry = _launch(loss, knobs)
+                    break
+                except Exception as e:
+                    # Keep the TAIL (the exception line is at the end of a
+                    # python traceback) but enough of it to identify the
+                    # failing frame.
+                    failures.append({"knobs": knobs, "error": repr(e)[-900:]})
+            if entry is not None:
+                if knobs:
+                    entry["fallback_knobs"] = knobs
+                if failures:
+                    entry["failed_attempts"] = failures
+                break
+            if _remaining() < min_child_s:
+                break
+        # Headline vs-generic evidence: one extra child on the generic
+        # path (its own process — see the one-fast-executable rule in
+        # `_bench_one_loss`).  Informational; a failure costs nothing.
+        if (
+            loss in ("warp", "warp-hybrid")
+            and entry is not None
+            and entry.get("steady_mode") not in ("False", "None")
+            and _remaining() >= min_child_s
+        ):
+            try:
+                gen = _launch(loss, {"fast_path": "off"})
+                entry["steady_5epoch_wall_s_by_mode"]["generic"] = gen[
+                    "steady_5epoch_wall_s"
+                ]
+                entry["generic_steady_epoch_examples_per_sec"] = gen[
+                    "steady_epoch_examples_per_sec"
+                ]
+            except Exception as e:
+                entry["steady_5epoch_wall_s_by_mode"]["generic"] = (
+                    f"error: {e!r}"[:200]
+                )
+        out[loss] = entry if entry is not None else {"error": failures}
+        if emit is not None:
+            emit()
+    if skipped:
+        detail["large_scale"]["skipped"] = skipped
 
 
 def _bench_one_loss(
     loss, coo, coo_signed, *, D, batch_size, n_users, n_items, **knobs
 ):
-    """Measure one loss's fit/steady throughput + accuracy guard."""
+    """Measure one loss's fit/steady throughput + accuracy guard.
+
+    ``loss`` may carry a ``-hybrid`` suffix (e.g. ``warp-hybrid``): same
+    base loss trained with item tag features (`_tag_features`) instead of
+    pure identity — LightFM's signature hybrid use case.
+    """
     import jax.numpy as jnp
 
     from lightfm_tpu import LightFM
+
+    hybrid = loss.endswith("-hybrid")
+    if hybrid:
+        loss = loss[: -len("-hybrid")]
+    item_features = _tag_features(n_items) if hybrid else None
 
     loss_coo = coo_signed if loss == "logistic" else coo
     loss_csr = loss_coo.tocsr()
@@ -356,7 +483,7 @@ def _bench_one_loss(
         loss=loss, no_components=D, random_state=10,
         batch_size=batch_size, **knobs
     )
-    model.fit(loss_coo, epochs=5)  # compile warmup
+    model.fit(loss_coo, epochs=5, item_features=item_features)  # warmup
     # Best of 2: remote-device jitter can add seconds to a single fit.
     first_wall = float("inf")
     for _ in range(2):
@@ -365,7 +492,7 @@ def _bench_one_loss(
             batch_size=batch_size, **knobs
         )
         t0 = time.perf_counter()
-        model.fit(loss_coo, epochs=5)
+        model.fit(loss_coo, epochs=5, item_features=item_features)
         first_wall = min(first_wall, time.perf_counter() - t0)
 
     # Steady-state epochs: the staged data is on device; re-dispatch the
@@ -431,10 +558,18 @@ def _bench_one_loss(
         },
         # Every loss carries the guard so no throughput number can be
         # gamed by broken training.
-        "auc_train_sample": round(_auc_sample(model, guard_csr), 4),
+        "auc_train_sample": round(
+            _auc_sample(model, guard_csr, item_features=item_features), 4
+        ),
         "guard_epochs": guard_epochs,
     }
-    if loss == "warp":
+    if hybrid:
+        entry["item_features"] = (
+            f"{item_features.shape[0]}x{item_features.shape[1]}, "
+            f"nnz/row={item_features.nnz / item_features.shape[0]:.1f} "
+            "(identity + tags)"
+        )
+    if loss == "warp" and not hybrid:
         entry["vs_cpu32_linear_estimate"] = round(
             entry["steady_epoch_examples_per_sec"] / _REF_CPU32_D64_ESTIMATE, 2
         )
@@ -542,6 +677,7 @@ def _child_main(argv):
 def main():
     if "--large-scale-loss" in sys.argv:
         return _child_main(sys.argv[1:])
+    _install_flush_handlers()
     if not _device_available():
         print(
             json.dumps(
@@ -595,15 +731,6 @@ def main():
         "precision_at_5_train": round(p5, 4),
         "device": str(__import__("jax").devices()[0]),
     }
-    try:
-        _bench_serving(model, train, detail)
-    except Exception as e:  # secondary metrics must not sink the headline
-        detail["serving_bench_error"] = repr(e)
-    try:
-        _bench_large_scale(detail)
-    except Exception as e:
-        detail["large_scale_error"] = repr(e)
-
     result = {
         "metric": "warp_examples_per_sec",
         "value": round(examples_per_sec, 1),
@@ -611,7 +738,21 @@ def main():
         "vs_baseline": round(examples_per_sec / BASELINE_EXAMPLES_PER_SEC, 3),
         "detail": detail,
     }
-    print(json.dumps(result))
+    # The headline is in hand — emit NOW (and after each later stage): the
+    # driver parses the last stdout line, so a kill at any later point
+    # still records everything measured so far (round-4 lesson: the single
+    # end-of-run print lost the whole round to a timeout).
+    _emit(result)
+    try:
+        _bench_serving(model, train, detail)
+    except Exception as e:  # secondary metrics must not sink the headline
+        detail["serving_bench_error"] = repr(e)
+    _emit()
+    try:
+        _bench_large_scale(detail, emit=_emit)
+    except Exception as e:
+        detail["large_scale_error"] = repr(e)
+    _emit()
 
 
 if __name__ == "__main__":
