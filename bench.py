@@ -321,10 +321,21 @@ def _run_loss_subprocess(loss, sizes, knobs, timeout_s=_CHILD_TIMEOUT_S):
     platforms = jax.config.jax_platforms
     if platforms:
         env["LIGHTFM_TPU_BENCH_PLATFORM"] = platforms
-    r = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=timeout_s, env=env,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired as e:
+        # The child's stderr carries its stage-timing trace — the error
+        # record must show WHERE it was stuck, not just that it was.
+        tail = e.stderr or b""
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        raise RuntimeError(
+            f"child timeout after {timeout_s:.0f}s; stderr tail: "
+            f"{tail[-600:]}"
+        ) from None
     if r.returncode != 0:
         raise RuntimeError(
             f"child rc={r.returncode}: {(r.stderr or r.stdout)[-1500:]}"
@@ -463,6 +474,17 @@ def _bench_one_loss(
 
     from lightfm_tpu import LightFM
 
+    t_start = time.perf_counter()
+
+    def _trace(stage):
+        # Stage timings on stderr: when a child exceeds its timeout, the
+        # parent's recorded error tail shows WHERE it was stuck.
+        print(
+            f"[bench-child {loss} +{time.perf_counter() - t_start:.0f}s] "
+            f"{stage}",
+            file=sys.stderr, flush=True,
+        )
+
     hybrid = loss.endswith("-hybrid")
     if hybrid:
         loss = loss[: -len("-hybrid")]
@@ -483,7 +505,9 @@ def _bench_one_loss(
         loss=loss, no_components=D, random_state=10,
         batch_size=batch_size, **knobs
     )
+    _trace("warmup fit (compile) start")
     model.fit(loss_coo, epochs=5, item_features=item_features)  # warmup
+    _trace("warmup fit done")
     # Best of 2: remote-device jitter can add seconds to a single fit.
     first_wall = float("inf")
     for _ in range(2):
@@ -495,6 +519,7 @@ def _bench_one_loss(
         model.fit(loss_coo, epochs=5, item_features=item_features)
         first_wall = min(first_wall, time.perf_counter() - t0)
 
+    _trace("timed fits done")
     # Steady-state epochs: the staged data is on device; re-dispatch the
     # compiled multi-epoch program (what every epoch after the first
     # costs on a co-located host).
@@ -532,6 +557,7 @@ def _bench_one_loss(
     steady_mode = str(fast)
     steady_by_mode = {steady_mode: steady_wall}
 
+    _trace("steady epochs done")
     # Accuracy guard on the full 15-epoch trajectory (fit + both steady
     # runs continue the same training); the sigmoid losses converge
     # slower than WARP's rank-weighted one, so guard them further out.
@@ -563,6 +589,7 @@ def _bench_one_loss(
         ),
         "guard_epochs": guard_epochs,
     }
+    _trace("auc guard done")
     if hybrid:
         entry["item_features"] = (
             f"{item_features.shape[0]}x{item_features.shape[1]}, "
@@ -660,11 +687,17 @@ def _child_main(argv):
     loss = args["--large-scale-loss"]
     sizes = json.loads(args.get("--sizes", "{}"))
     knobs = json.loads(args.get("--knobs", "{}"))
+    t0 = time.perf_counter()
     coo = _clustered_interactions(
         sizes["n_users"], sizes["n_items"], sizes["nnz"]
     )
     coo_signed = _clustered_interactions(
         sizes["n_users"], sizes["n_items"], sizes["nnz"], signed=True
+    )
+    print(
+        f"[bench-child {loss}] datasets built in "
+        f"{time.perf_counter() - t0:.0f}s",
+        file=sys.stderr, flush=True,
     )
     entry = _bench_one_loss(
         loss, coo, coo_signed,

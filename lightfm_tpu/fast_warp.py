@@ -59,8 +59,12 @@ import jax.numpy as jnp
 
 from lightfm_tpu.config import MAX_LOSS, Hyperparams
 from lightfm_tpu.losses import Batch
-from lightfm_tpu.ops.representation import score_pairs, with_unit_bias
-from lightfm_tpu.sparse import IdentityRows, in_positives_slots
+from lightfm_tpu.ops.representation import (
+    batch_representation,
+    score_pairs,
+    with_unit_bias,
+)
+from lightfm_tpu.sparse import IdentityRows, PaddedRows, in_positives_slots
 from lightfm_tpu.state import ModelState
 
 # Negative-pool size per step.  16384 rows x W floats stays VMEM-friendly
@@ -74,6 +78,24 @@ POOL_SIZE = 16384
 # off beyond it.  Also the threshold that keeps the (statistically
 # validated) generic path on small CPU test datasets.
 MIN_TABLE_ELEMS = 1 << 19
+
+# Hybrid (feature-matrix) fast path: PaddedRows up to this padded width are
+# eligible for the pairwise pool path (the genre/tag case — ML-100k item
+# features carry <= ~6 nnz/row, StackExchange tags similar).  The pool
+# reformulation removes the generic path's dominant hybrid cost (the
+# K*B*nnz candidate-representation gathers of `losses._warp_negative_search`
+# become one P*nnz pool gather + rotations); updates expand to
+# per-(example, feature) touches and scatter-add (`_feature_update`).
+# Wider feature rows multiply the forward gather/update traffic linearly
+# and belong on the generic/chunked path.
+MAX_FAST_FEAT_NNZ = 16
+
+
+def _feats_eligible(feats) -> bool:
+    """Feature types the pairwise fast path handles natively."""
+    if isinstance(feats, IdentityRows):
+        return True
+    return isinstance(feats, PaddedRows) and feats.max_nnz <= MAX_FAST_FEAT_NNZ
 
 # Fast-path configuration lives in Hyperparams (config.py: fast_path,
 # pool_kernels, user_pallas, fast_precision, shuffle_mode) so it is
@@ -218,23 +240,34 @@ def fast_warp_eligible(
         # cycles (slot = global_pos % P stays offset-free per shard).
         if hp.loss != "logistic" and local_b % min(POOL_SIZE, batch_size):
             return False
-    if not isinstance(data.user_feats, IdentityRows):
-        return False
-    if not isinstance(data.item_feats, IdentityRows):
-        return False
+    identity_only = hp.loss == "logistic" or mesh is not None
+    if identity_only:
+        # Logistic's fast path is ONLY the sorted-update kernel, which
+        # needs identity touches; the shard_map layout passes feature
+        # pytrees as replicated operands only for the identity marker.
+        if not isinstance(data.user_feats, IdentityRows):
+            return False
+        if not isinstance(data.item_feats, IdentityRows):
+            return False
+    else:
+        if not _feats_eligible(data.user_feats):
+            return False
+        if not _feats_eligible(data.item_feats):
+            return False
     if hp.loss != "logistic" and data.positives is None:
         return False
     # Pool-fold needs B to be a whole number of pools.
     if batch_size > POOL_SIZE and batch_size % POOL_SIZE != 0:
         return False
-    W = 0
     try:
-        W = data.item_feats.n_rows  # rows of the identity == table rows
+        # Item-table rows: the identity's row count, or the feature count
+        # of an explicit feature matrix.
+        n_table_rows = data.item_feats.n_cols
     except Exception:
         return False
     from lightfm_tpu.state import table_width
 
-    if W * table_width(hp.no_components) < MIN_TABLE_ELEMS:
+    if n_table_rows * table_width(hp.no_components) < MIN_TABLE_ELEMS:
         return False
     return _pool_mode(hp)
 
@@ -358,6 +391,33 @@ def _sorted_update(table, acc, sidx, wg, lr: float, use_pallas: bool,
     return table, acc
 
 
+def _feature_update(table, acc, feats: PaddedRows, rows, g, lr: float,
+                    g2=None):
+    """Adagrad update through an explicit feature matrix: per-row gradients
+    ``g`` expand to per-(row, feature) touches ``w_f * g`` and scatter-add
+    (`update_features`, template:392-451, batched).
+
+    Same conventions as `_sorted_update`: the table moves by ``-lr_local *
+    touch_grad`` with the PRE-call accumulator, and zero-weight padding
+    slots are exact no-ops.  ``g2`` overrides the squared-gradient stream
+    for callers whose ``g`` is already a fold of per-example terms (the
+    pool negatives, where sum-of-squares != square-of-sum).
+    """
+    idx = feats.idx[rows]  # [B, P]
+    w = feats.wts[rows]  # [B, P]
+    W = g.shape[-1]
+    fidx = idx.reshape(-1)
+    fwg = (w[..., None] * g[:, None, :]).reshape(-1, W)
+    if g2 is None:
+        fwg2 = fwg * fwg
+    else:
+        fwg2 = ((w * w)[..., None] * g2[:, None, :]).reshape(-1, W)
+    lrl = lr * jax.lax.rsqrt(acc[fidx])
+    table = table.at[fidx].add(-(lrl * fwg))
+    acc = acc.at[fidx].add(fwg2)
+    return table, acc
+
+
 def _roll_ids(pool_ids, shifts, K: int):
     """K rotated views of the pool's ids ([K, P]; tiny)."""
     return jnp.stack([jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)])
@@ -430,6 +490,7 @@ def _apply_pool_updates(
     pool_ids, gp, gp2,
     lr: float, use_pallas: bool, user_pallas: bool,
     precision=jax.lax.Precision.HIGHEST,
+    user_feats=None, item_feats=None,
 ):
     """Shared fast-path update pass (positive pair / pool negatives / user).
 
@@ -438,25 +499,49 @@ def _apply_pool_updates(
     ``gi``/``gu`` are the [B, W] positive-item and user gradients in
     losses._apply_pairwise's fused [emb | bias] layout.
 
+    ``user_feats``/``item_feats`` route each side: identity (None or
+    IdentityRows) takes the sorted-kernel/direct-scatter paths below;
+    an explicit PaddedRows matrix expands to per-(row, feature) touches
+    via `_feature_update` (the hybrid case — the sorted kernel needs
+    identity touches, but the pool machinery above already removed the
+    hybrid path's dominant cost, the K*B*nnz candidate gathers).
+
     Update order within the step: positive items (pre-step accumulator),
     pool negatives (post-positive accumulator), users (pre-step
     accumulator) — batched updates commute within each group, and the
     cross-group staleness is the same class the synchronous batching
     already introduces.
     """
+    item_identity = item_feats is None or isinstance(item_feats, IdentityRows)
+    user_identity = user_feats is None or isinstance(user_feats, IdentityRows)
+
     # --- item table: positive pairs (ids already sorted) ----------------
-    item_table, item_acc = _sorted_update(
-        state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas,
-        precision,
-    )
+    if item_identity:
+        item_table, item_acc = _sorted_update(
+            state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas,
+            precision,
+        )
+    else:
+        item_table, item_acc = _feature_update(
+            state.item_table, state.item_acc, item_feats, pos_ids, -gi, lr
+        )
 
     # --- item table: pool negatives (P-row scatter) ---------------------
-    lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
-    item_table = item_table.at[pool_ids].add(-(lrp * gp))
-    item_acc = item_acc.at[pool_ids].add(gp2)
+    if item_identity:
+        lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
+        item_table = item_table.at[pool_ids].add(-(lrp * gp))
+        item_acc = item_acc.at[pool_ids].add(gp2)
+    else:
+        item_table, item_acc = _feature_update(
+            item_table, item_acc, item_feats, pool_ids, gp, lr, g2=gp2
+        )
 
     # --- user table -----------------------------------------------------
-    if user_pallas:
+    if not user_identity:
+        user_table, user_acc = _feature_update(
+            state.user_table, state.user_acc, user_feats, uid, gu, lr
+        )
+    elif user_pallas:
         sgu = gu[sigma]  # reorder gradients into user-sorted order
         user_table, user_acc = _sorted_update(
             state.user_table, state.user_acc, suid, sgu, lr, use_pallas,
@@ -500,6 +585,8 @@ def warp_pool_step(
     pool_kernels: bool = False,
     n_shards: int = 1,
     axis_name=None,
+    user_feats=None,
+    item_feats=None,
 ) -> ModelState:
     """One fast-path WARP step over an ITEM-SORTED batch.
 
@@ -522,12 +609,16 @@ def warp_pool_step(
     W = state.item_table.shape[1]
     kp, kr = jax.random.split(key)
 
-    u = state.user_table[uid]  # [B, W]
-    prep = state.item_table[pos_ids]  # [B, W]; sorted ids -> coalesced gather
+    # batch_representation == a direct row gather for identity features;
+    # with an explicit feature matrix it is the weighted feature sum
+    # (compute_representation, template:287-317).  Sorted pos_ids keep the
+    # identity gather coalesced.
+    u = batch_representation(state.user_table, user_feats, uid)  # [B, W]
+    prep = batch_representation(state.item_table, item_feats, pos_ids)
 
     pool_ids = jax.random.randint(kp, (P,), 0, n_items, dtype=jnp.int32)
     shifts = jax.random.randint(kr, (K,), 0, P, dtype=jnp.int32)
-    pool_reps = state.item_table[pool_ids]  # [P, W]
+    pool_reps = batch_representation(state.item_table, item_feats, pool_ids)
     rids = _roll_ids(pool_ids, shifts, K)
 
     u1 = with_unit_bias(u)  # [B, W]
@@ -596,6 +687,7 @@ def warp_pool_step(
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
+        user_feats=user_feats, item_feats=item_feats,
     )
 
 
@@ -615,6 +707,8 @@ def bpr_pool_step(
     pool_kernels: bool = False,
     n_shards: int = 1,
     axis_name=None,
+    user_feats=None,
+    item_feats=None,
 ) -> ModelState:
     """One fast-path BPR step over an ITEM-SORTED batch.
 
@@ -636,15 +730,15 @@ def bpr_pool_step(
     W = state.item_table.shape[1]
     kp, kr = jax.random.split(key)
 
-    u = state.user_table[uid]
-    prep = state.item_table[pos_ids]
+    u = batch_representation(state.user_table, user_feats, uid)
+    prep = batch_representation(state.item_table, item_feats, pos_ids)
 
     n_examples = train_items.shape[0]
     pool_ids = train_items[
         jax.random.randint(kp, (P,), 0, n_examples, dtype=jnp.int32)
     ]
     shifts = jax.random.randint(kr, (T,), 0, P, dtype=jnp.int32)
-    pool_reps = state.item_table[pool_ids]
+    pool_reps = batch_representation(state.item_table, item_feats, pool_ids)
     rids = _roll_ids(pool_ids, shifts, T)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (T, Q, P)).reshape(T, B)
 
@@ -695,6 +789,7 @@ def bpr_pool_step(
     return _apply_pool_updates(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
+        user_feats=user_feats, item_feats=item_feats,
     )
 
 
@@ -789,7 +884,8 @@ def fast_epoch(
     user_pallas = hp.user_pallas
     n_data = mesh.shape["data"] if mesh is not None else 1
 
-    def step(state, batch, su, sg, bkey, positives, train_items, axis_name):
+    def step(state, batch, su, sg, bkey, positives, train_items, axis_name,
+             user_feats=None, item_feats=None):
         if hp.loss == "logistic":
             return logistic_sorted_step(
                 state, batch, su, sg, hp,
@@ -802,12 +898,14 @@ def fast_epoch(
                 bkey, n_items=n_items, use_pallas=use_pallas,
                 user_pallas=user_pallas, pool_kernels=pool_kernels,
                 n_shards=n_data, axis_name=axis_name,
+                user_feats=user_feats, item_feats=item_feats,
             )
         return warp_pool_step(
             state, batch, positives, su, sg, hp, bkey,
             n_items=n_items, use_pallas=use_pallas,
             user_pallas=user_pallas, pool_kernels=pool_kernels,
             n_shards=n_data, axis_name=axis_name,
+            user_feats=user_feats, item_feats=item_feats,
         )
 
     if mesh is not None:
@@ -818,6 +916,9 @@ def fast_epoch(
             return jax.tree.map(lambda x: PS(*([None] * jnp.ndim(x))), tree)
 
         def sharded_step(state, packed, su, sg, bkey, positives, train_items):
+            # Eligibility pins the mesh layout to identity features, so the
+            # feature pytrees stay out of the shard_map signature (None ==
+            # identity-by-construction inside the steps).
             return step(
                 state, _unpack_batch5(packed), su, sg, bkey,
                 positives, train_items, "data",
@@ -857,6 +958,7 @@ def fast_epoch(
                 step(
                     state, batch, su, sg, bkey,
                     data.positives, data.train_items, None,
+                    user_feats=data.user_feats, item_feats=data.item_feats,
                 ),
                 None,
             )

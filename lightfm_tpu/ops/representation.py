@@ -37,11 +37,12 @@ def batch_representation(
     scale of 1.0 is NOT free: the multiply forces a full copy of the gathered
     rows (~15% of a WARP epoch, measured on v5e).
     """
-    if isinstance(features, IdentityRows):
+    if features is None or isinstance(features, IdentityRows):
         # Direct multi-dim gather: with the table width a multiple of 8
         # (state.table_width) this is XLA:TPU's fast path; flattening to 1-D
         # and reshaping back forces a layout copy of the whole result (the
         # (…, K, W) minor-dims retile), measured ~600x slower standalone.
+        # ``None`` means identity-by-construction (fast-path callers).
         rows = table[row_ids]
         if scale is not None:
             rows = rows * scale

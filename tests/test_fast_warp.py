@@ -38,6 +38,19 @@ def planted():
     return _planted()
 
 
+def _tag_feats(ni, n_tags=300, per_item=3):
+    """Identity + ``per_item`` distinct tag columns per item (the hybrid
+    genre/tag shape; deterministic so padded widths are exact)."""
+    rows = np.repeat(np.arange(ni), per_item)
+    cols = (rows + np.tile(np.arange(per_item), ni) * 37) % n_tags
+    tags = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(ni, n_tags)
+    ).tocsr()
+    return sp.hstack(
+        [sp.identity(ni, dtype=np.float32, format="csr"), tags], format="csr"
+    )
+
+
 @pytest.fixture(autouse=True)
 def _force_fast_path(monkeypatch):
     """Eligibility defaults to TPU backends only; force it on so the CPU
@@ -70,10 +83,23 @@ def test_eligibility_gate(planted):
         m2.fit(planted, epochs=0)
         assert not m2._staged_fast, kw
 
-    # Explicit (non-identity) features disqualify too.
+    # Hybrid: narrow explicit feature matrices (the genre/tag case) are
+    # eligible for the pairwise losses...
     m3 = LightFM(loss="warp", no_components=64, random_state=10)
-    m3.fit(planted, epochs=0, item_features=sp.eye(8000, dtype=np.float32).tocsr()[:, :4000])
-    assert not m3._staged_fast
+    m3.fit(planted, epochs=0, item_features=_tag_feats(8000))
+    assert m3._staged_fast
+
+    # ... but wide rows (> MAX_FAST_FEAT_NNZ) stay on the generic/chunked
+    # path, and logistic (whose fast path is ONLY the identity-touch
+    # sorted-update kernel) rejects features entirely.
+    wide = _tag_feats(8000, per_item=fw.MAX_FAST_FEAT_NNZ + 1)
+    m4 = LightFM(loss="warp", no_components=64, random_state=10)
+    m4.fit(planted, epochs=0, item_features=wide)
+    assert not m4._staged_fast
+
+    m5 = LightFM(loss="logistic", no_components=64, random_state=10)
+    m5.fit(planted, epochs=0, item_features=_tag_feats(8000))
+    assert not m5._staged_fast
 
 
 def test_shuffle_item_sorted_invariants():
@@ -414,3 +440,67 @@ def test_bpr_eligibility(planted):
     m = LightFM(loss="bpr", no_components=64, random_state=10)
     m.fit(planted, epochs=1)
     assert m._staged_fast
+
+    # Hybrid BPR is eligible too (same pool machinery).
+    m2 = LightFM(loss="bpr", no_components=64, random_state=10)
+    m2.fit(planted, epochs=0, item_features=_tag_feats(8000))
+    assert m2._staged_fast
+
+
+def test_hybrid_fast_matches_generic_statistically(planted):
+    """WARP with explicit item features: the hybrid fast path (pool
+    negatives + feature-expanded scatter updates) must train to the same
+    quality as the generic `losses.warp_step` path."""
+    feats = _tag_feats(8000)
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0, item_features=feats)
+    assert m._staged_fast
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(5, dtype=jnp.uint32)
+    init = m._state
+    train_csr = planted.tocsr()
+    aucs = {}
+    for fast in (False, True):
+        m._state = run_epochs(init, data, seeds, hp, bs, fast=fast)
+        aucs[fast] = float(
+            auc_score(m, train_csr, item_features=feats).mean()
+        )
+    assert aucs[True] > 0.9, aucs
+    assert aucs[True] > aucs[False] - 0.02, aucs
+
+
+def test_hybrid_user_features_fast_path(planted):
+    """User-side features route through `_feature_update` as well; the
+    transposed planted problem checks that side trains too."""
+    feats = _tag_feats(1500)
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0, user_features=feats)
+    # user table: 1800 features x 72 < MIN_TABLE_ELEMS is fine — the gate
+    # keys on the ITEM table (8000 x 72); user features just must be narrow.
+    assert m._staged_fast
+    m.fit(planted, epochs=5, user_features=feats)
+    auc = float(auc_score(m, planted.tocsr(), user_features=feats).mean())
+    assert auc > 0.9, auc
+
+
+def test_hybrid_fast_invalid_rows_are_noops(planted):
+    """All-masked epochs must leave tables untouched through the hybrid
+    update path (padding slots and y<=0 examples are exact no-ops)."""
+    feats = _tag_feats(8000)
+    coo = planted.copy()
+    coo.data = -np.ones_like(coo.data)
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(coo, epochs=0, item_features=feats)
+    assert m._staged_fast
+    data = m._staged_train_data
+    hp, bs = m._staged_hp, m._staged_batch_size
+    before = m._state
+    after = run_epochs(
+        before, data, jnp.arange(1, dtype=jnp.uint32), hp, bs, fast=True
+    )
+    for name in ("item_table", "user_table", "item_acc", "user_acc"):
+        assert (
+            np.asarray(getattr(after, name))
+            == np.asarray(getattr(before, name))
+        ).all(), name
