@@ -45,14 +45,15 @@ BASELINE_EXAMPLES_PER_SEC = 19048 * 30 / 0.838  # quickstart wall time
 #      (headline, serving, each large-scale loss).  The driver parses the
 #      LAST stdout line, so whatever stage last completed is what gets
 #      recorded even if the process is killed mid-bench.
-#   2. Per-child subprocess timeout capped at 480s and clipped to the
-#      remaining global budget; the large-scale block gets a global wall
-#      budget (default 1500s) and records what it skipped when exhausted.
+#   2. Per-child subprocess timeout capped at 480s (650s for the slow-
+#      compiling generic comparison children) and clipped to the remaining
+#      global budget; the large-scale block gets a global wall budget
+#      (default 1800s) and records what it skipped when exhausted.
 #   3. SIGTERM/SIGINT flush the current record before exiting, so even a
 #      signal-kill preserves the best measurement so far.
 
 _CHILD_TIMEOUT_S = 480.0
-_LS_BUDGET_S = float(os.environ.get("LIGHTFM_TPU_BENCH_BUDGET_S", "1500"))
+_LS_BUDGET_S = float(os.environ.get("LIGHTFM_TPU_BENCH_BUDGET_S", "1800"))
 _CURRENT_RESULT = None
 
 
@@ -392,13 +393,25 @@ def _bench_large_scale(
     def _remaining():
         return deadline - time.perf_counter()
 
-    def _launch(loss, knobs):
+    def _launch(loss, knobs, timeout_s=_CHILD_TIMEOUT_S):
         return _run_loss_subprocess(
             loss, sizes, knobs,
-            timeout_s=min(_CHILD_TIMEOUT_S, max(1.0, _remaining())),
+            timeout_s=min(timeout_s, max(1.0, _remaining())),
         )
 
-    for loss in ("warp", "logistic", "bpr", "warp-hybrid"):
+    def _wait_device():
+        # A killed child can leave the TPU lease dangling for minutes;
+        # launching the next child into that window cascades one timeout
+        # into a whole run of them (the round-4 in-session failure mode).
+        # Probe until the device answers or ~150s of budget is spent.
+        for _ in range(3):
+            if _device_available(timeout_s=50):
+                return
+        # fall through regardless: the next child's own timeout bounds it
+
+    # warp-hybrid runs SECOND: it is the round's novel evidence and the
+    # budget may not stretch to the sigmoid losses on a cold compile cache.
+    for loss in ("warp", "warp-hybrid", "logistic", "bpr"):
         if _remaining() < min_child_s:
             skipped.append({"loss": loss, "reason": "wall budget exhausted"})
             continue
@@ -425,6 +438,7 @@ def _bench_large_scale(
                     # python traceback) but enough of it to identify the
                     # failing frame.
                     failures.append({"knobs": knobs, "error": repr(e)[-900:]})
+                    _wait_device()
             if entry is not None:
                 if knobs:
                     entry["fallback_knobs"] = knobs
@@ -443,17 +457,26 @@ def _bench_large_scale(
             and _remaining() >= min_child_s
         ):
             try:
-                gen = _launch(loss, {"fast_path": "off"})
+                # Generic executables compile MUCH slower than the fast
+                # path (~560s cold for identity WARP on v5e; the persistent
+                # compilation cache cuts reruns to ~140s) — give these
+                # children a longer leash.
+                gen = _launch(loss, {"fast_path": "off"}, timeout_s=650.0)
                 entry["steady_5epoch_wall_s_by_mode"]["generic"] = gen[
                     "steady_5epoch_wall_s"
                 ]
                 entry["generic_steady_epoch_examples_per_sec"] = gen[
                     "steady_epoch_examples_per_sec"
                 ]
+                entry["vs_generic"] = round(
+                    entry["steady_epoch_examples_per_sec"]
+                    / gen["steady_epoch_examples_per_sec"], 2
+                )
             except Exception as e:
                 entry["steady_5epoch_wall_s_by_mode"]["generic"] = (
                     f"error: {e!r}"[:200]
                 )
+                _wait_device()
         out[loss] = entry if entry is not None else {"error": failures}
         if emit is not None:
             emit()
