@@ -296,6 +296,17 @@ class LightFM:
             self._mirror_snaps[attr] = m.copy()
             self._drop_state_dependent_cache()  # representations changed
 
+    def _save_checkpoint(self, path):
+        """Atomic mid-fit checkpoint: write-to-temp + rename, so a kill
+        during the write can never leave a truncated checkpoint behind."""
+        import os
+
+        from lightfm_tpu.checkpoint import save_model
+
+        tmp = f"{path}.tmp"
+        save_model(self, tmp)
+        os.replace(tmp, path)
+
     def _drop_state_dependent_cache(self):
         """Drop serving-cache entries derived from MODEL STATE (the serving
         index / staged catalog representations), keeping the identity-keyed
@@ -564,6 +575,8 @@ class LightFM:
         epochs=1,
         num_threads=1,
         verbose=False,
+        checkpoint_every_n_epochs=None,
+        checkpoint_path=None,
     ):
         """Fit the model, discarding any previously learned state."""
         self._reset_state()
@@ -575,6 +588,8 @@ class LightFM:
             epochs=epochs,
             num_threads=num_threads,
             verbose=verbose,
+            checkpoint_every_n_epochs=checkpoint_every_n_epochs,
+            checkpoint_path=checkpoint_path,
         )
 
     def fit_partial(
@@ -586,8 +601,30 @@ class LightFM:
         epochs=1,
         num_threads=1,
         verbose=False,
+        checkpoint_every_n_epochs=None,
+        checkpoint_path=None,
     ):
-        """Fit the model, resuming from the current state if already fitted."""
+        """Fit the model, resuming from the current state if already fitted.
+
+        ``checkpoint_every_n_epochs``/``checkpoint_path``: when set, the
+        model is atomically checkpointed (``checkpoint.save_model`` to a
+        temp file + rename) every N epochs and at fit end.  A killed run
+        resumes bit-exactly: ``load_model(path)`` restores the state,
+        optimizer accumulators AND the numpy RandomState at the chunk
+        boundary, so ``fit_partial`` for the remaining epochs (same
+        checkpoint cadence) replays the identical seed stream an
+        uninterrupted run would have used.  (The reference has no mid-fit
+        checkpointing; its pickle round-trip — tests/test_movielens.py:
+        387-398 — is the save/load format this extends.)
+        """
+        if checkpoint_every_n_epochs is not None:
+            if int(checkpoint_every_n_epochs) < 1:
+                raise ValueError("checkpoint_every_n_epochs must be >= 1")
+            if not checkpoint_path:
+                raise ValueError(
+                    "checkpoint_path is required when "
+                    "checkpoint_every_n_epochs is set"
+                )
         # Fold pending in-place edits of handed-out state views into the
         # device state so a warm re-fit resumes from what the user sees.
         self._sync_mirrors()
@@ -673,6 +710,36 @@ class LightFM:
         self._staged_batch_size = batch_size
         self._staged_fast = fast
 
+        from lightfm_tpu.observability import FitStats
+
+        stats = FitStats(n_examples=len(interactions.data), epochs=epochs)
+
+        if checkpoint_every_n_epochs is not None:
+            # Chunked dispatch with a checkpoint at every chunk boundary.
+            # Seeds are drawn PER CHUNK (not all upfront): the checkpoint
+            # stores the RandomState at the boundary, so a resumed run's
+            # remaining chunks draw exactly the seeds an uninterrupted
+            # chunked run would have drawn — kill-and-resume reproduces
+            # the uninterrupted trajectory bit-for-bit.
+            n_chunk = int(checkpoint_every_n_epochs)
+            done = 0
+            while done < epochs:
+                n = min(n_chunk, epochs - done)
+                seeds = self.random_state.randint(
+                    0, np.iinfo(np.int32).max, size=n
+                ).astype(np.uint32)
+                self._state = run_epochs(
+                    self._state, data, jnp.asarray(seeds), hp, batch_size,
+                    mesh=self.mesh, shuffle=self.example_shuffle, fast=fast,
+                )
+                self._check_finite()
+                done += n
+                self._save_checkpoint(checkpoint_path)
+            self.fit_stats_ = stats.finish()
+            self._drop_mirrors()
+            self._drop_state_dependent_cache()
+            return self
+
         # All device randomness is rooted in the numpy RandomState so that
         # seeded runs reproduce and the RNG advances across epochs (the
         # reference's `test_random_state_fixing` contract): one seed drawn
@@ -680,10 +747,6 @@ class LightFM:
         seeds = self.random_state.randint(
             0, np.iinfo(np.int32).max, size=epochs
         ).astype(np.uint32)
-
-        from lightfm_tpu.observability import FitStats
-
-        stats = FitStats(n_examples=len(interactions.data), epochs=epochs)
 
         if verbose:
             # Per-epoch dispatch so progress/finite checks track epochs,

@@ -150,3 +150,57 @@ def test_npz_roundtrip_preserves_serving_metadata(tmp_path):
         clone.recommend(np.arange(4), k=5)
     s, i = clone.recommend(np.arange(4), k=5, item_features=genre)
     assert i.shape == (4, 5)
+
+
+def test_midfit_checkpoint_kill_and_resume(tmp_path):
+    """SURVEY §5 failure recovery: a run checkpointed every N epochs and
+    killed mid-fit must resume FROM DISK to the exact trajectory of an
+    uninterrupted run (state + optimizer accumulators + RNG stream)."""
+    path_full = str(tmp_path / "full.npz")
+    full = LightFM(loss="warp", random_state=SEED)
+    full.fit(
+        _train, epochs=6,
+        checkpoint_every_n_epochs=2, checkpoint_path=path_full,
+    )
+
+    # "Kill" after 4 of 6 epochs: run only the first two chunks...
+    path_part = str(tmp_path / "part.npz")
+    part = LightFM(loss="warp", random_state=SEED)
+    part.fit(
+        _train, epochs=4,
+        checkpoint_every_n_epochs=2, checkpoint_path=path_part,
+    )
+    del part
+    # ... then resume purely from the on-disk checkpoint.
+    resumed = load_model(path_part)
+    resumed.fit_partial(
+        _train, epochs=2,
+        checkpoint_every_n_epochs=2, checkpoint_path=path_part,
+    )
+
+    for name in ("item_table", "item_acc", "user_table", "user_acc"):
+        assert np.array_equal(
+            np.asarray(getattr(resumed._state, name)),
+            np.asarray(getattr(full._state, name)),
+        ), name
+    # The final checkpoints on disk agree too (fit saves at fit end).
+    a, b = load_model(path_part), load_model(path_full)
+    assert np.array_equal(
+        np.asarray(a._state.item_table), np.asarray(b._state.item_table)
+    )
+    # And the RNG streams are aligned for any FUTURE training.
+    assert np.array_equal(
+        a.random_state.randint(0, 1 << 30, 16),
+        b.random_state.randint(0, 1 << 30, 16),
+    )
+
+
+def test_midfit_checkpoint_validation():
+    m = LightFM(loss="warp", random_state=SEED)
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        m.fit(_train, epochs=2, checkpoint_every_n_epochs=1)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        m.fit(
+            _train, epochs=2, checkpoint_every_n_epochs=0,
+            checkpoint_path="/tmp/x.npz",
+        )
