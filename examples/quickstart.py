@@ -37,9 +37,17 @@ def load():
 
 
 def main():
+    # Demo-fast by default off-TPU: `python quickstart.py [epochs]`.
+    # 10 epochs reaches p@5 ~= 0.4 train in seconds on CPU; pass 30 to
+    # reproduce the reference's quickstart numbers exactly.
+    import jax
+
+    default_epochs = 30 if jax.default_backend() == "tpu" else 10
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else default_epochs
+
     data = load()
     model = LightFM(loss="warp", random_state=42)
-    model.fit(data["train"], epochs=30)
+    model.fit(data["train"], epochs=epochs)
     print("fit:", model.fit_stats_.as_dict())
 
     print("train p@5: %.2f" % precision_at_k(model, data["train"].tocsr(), k=5).mean())
