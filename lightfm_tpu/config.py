@@ -51,10 +51,13 @@ class Hyperparams:
     # Whether the specialised pool/sorted-update path may engage at all
     # ("auto": TPU backends only; eligibility gates still apply).
     fast_path: str = "auto"  # "auto" | "on" | "off"
-    # Pool scoring/fold implementation for the pairwise fast path:
-    # Pallas pool kernels vs the rolled-einsum XLA formulation.  "auto"
-    # follows the current hardware-validated per-loss default.
-    pool_kernels: str = "auto"  # "auto" | "kernels" | "einsum"
+    # Pool scoring/fold implementation for the pairwise fast path.  Always
+    # the rolled-einsum XLA formulation since round 5: the Pallas pool
+    # kernels lost their composed hardware A/B (v5e, WARP 5M/D=64: einsum
+    # 11.89M ex/s / 64s compile vs kernels 10.61M ex/s / 500s compile) and
+    # were deleted.  "kernels" remains ACCEPTED as a deprecated alias (old
+    # checkpoints/params carry it) and resolves to einsum with a warning.
+    pool_kernels: str = "auto"  # "auto" | "einsum" | "kernels" (deprecated)
     # Route the user-table update through the sorted Pallas kernel (one
     # extra [B, W] permutation gather) instead of the XLA scatter.
     user_pallas: bool = True

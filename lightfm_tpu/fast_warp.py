@@ -173,17 +173,22 @@ def _enabled(hp: Hyperparams) -> bool:
 def _pool_mode(hp: Hyperparams) -> str:
     """Pool scoring/fold implementation for the pairwise fast path.
 
-    "auto" is the hardware-validated default: the rolled-einsum
-    formulation for every loss.  The Pallas pool kernels
-    (ops/pallas_pool) remain selectable per model or via
-    LIGHTFM_TPU_POOL_KERNELS=1 — the round-3 flip to kernels-for-WARP was
-    reverted after the kernels-default bench run died with a runtime
-    INVALID_ARGUMENT at the production shape (BENCH_r03, round-3 verdict
-    #1); "auto" follows whichever mode the current round's same-session
-    hardware A/B proves at that shape.
+    Always the rolled-einsum formulation.  The Pallas pool-kernel mode
+    was REMOVED in round 5 after losing the composed hardware A/B it had
+    been waiting on since round 3 (v5e, 5M x D=64 production shape,
+    tools/pool_kernels_ab.py: einsum 11.89M ex/s / 64s compile vs kernels
+    10.61M ex/s / 500s compile — the bf16 MXU einsum passes beat the f32
+    VPU kernels).  ``pool_kernels="kernels"`` is accepted as a deprecated
+    alias so old checkpoints/params still load, with a warning.
     """
-    if hp.pool_kernels in ("kernels", "einsum"):
-        return hp.pool_kernels
+    if hp.pool_kernels == "kernels":
+        import warnings
+
+        warnings.warn(
+            "pool_kernels='kernels' was removed after losing the composed "
+            "hardware A/B (doc/roadmap.md); running the einsum mode.",
+            stacklevel=3,
+        )
     return "einsum"
 
 
@@ -204,11 +209,9 @@ def fast_warp_eligible(
     machinery; BPR's pool is drawn from the empirical item distribution)
     and logistic (sorted updates only — no sampling).
 
-    Returns the MODE the epoch should run in — ``False`` (generic path),
-    ``"einsum"`` (rolled-copy XLA formulation) or ``"kernels"`` (Pallas
-    pool kernels) — which flows into the jitted epoch as part of the
-    static ``fast`` argument, so flipping the kernel gate retraces instead
-    of silently reusing the other mode's executable.
+    Returns the MODE the epoch should run in — ``False`` (generic path) or
+    ``"einsum"`` (the rolled-copy XLA pool formulation) — which flows into
+    the jitted epoch as part of the static ``fast`` argument.
 
     With a mesh the path runs DATA-PARALLEL under shard_map (replicated
     tables, batch split over the ``data`` axis; see `fast_epoch`), gated
@@ -463,27 +466,6 @@ def _fold_gp_einsum(sel, u1q, shifts, precision):
     return gp, gp2
 
 
-def _fold_gp_kernels(u1, lossm, j, shifts, P: int, pool_reps=None, *, interpret):
-    """Pool-space gradient fold (+ selected-rep gather when ``pool_reps``
-    is given) via the Pallas pool kernels — no rolled copies, u1 streamed
-    once per fold."""
-    from lightfm_tpu.ops.pallas_pool import pool_fold_pallas
-
-    nrep = None
-    if pool_reps is not None:
-        gp, nrep = pool_fold_pallas(
-            u1, lossm, j, shifts, n_slots=P, pool=pool_reps, interpret=interpret
-        )
-    else:
-        gp = pool_fold_pallas(
-            u1, lossm, j, shifts, n_slots=P, interpret=interpret
-        )
-    gp2 = pool_fold_pallas(
-        u1 * u1, lossm * lossm, j, shifts, n_slots=P, interpret=interpret
-    )
-    return gp, gp2, nrep
-
-
 def _apply_pool_updates(
     state: ModelState,
     uid, pos_ids, gi, gu, suid, sigma,
@@ -582,7 +564,6 @@ def warp_pool_step(
     n_items: int,
     use_pallas: bool,
     user_pallas: bool,
-    pool_kernels: bool = False,
     n_shards: int = 1,
     axis_name=None,
     user_feats=None,
@@ -624,32 +605,19 @@ def warp_pool_step(
     u1 = with_unit_bias(u)  # [B, W]
     pos_pred = score_pairs(u, prep)  # [B]
     prec = _precision(hp)
-    kern_interp = not use_pallas  # CPU/GPU backends: interpret the kernels
     # preds[k, q*P+s] = dot(emb_u, emb_i) + item_bias (via the unit-bias
     # trick) + user_bias, exactly _score_candidates' scoring.
     # hp.fast_precision: at "highest" candidate scores are f32 like the
     # generic path's `_score_candidates`; at the shipped "default" they
     # take bf16 MXU passes, which shifts individual margin-violator picks
     # but not the training statistics (3-seed A/B: AUC trajectories
-    # identical to 4 decimals — tools/precision_ab.py).  The Pallas
-    # kernel path computes
-    # the same dots as exact f32 VPU multiply-reduces against the
-    # VMEM-resident pool — no [K, P, W] rolled materialization, u1 read
-    # once.
-    if pool_kernels:
-        from lightfm_tpu.ops.pallas_pool import pool_scores_pallas
-
-        preds = (
-            pool_scores_pallas(u1, pool_reps, shifts, interpret=kern_interp)
-            + u[None, :, -1]
-        )
-    else:
-        rp = _rolled_reps(pool_reps, shifts, K)
-        u1q = u1.reshape(Q, P, W)
-        preds = (
-            jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=prec)
-            + u[:, -1].reshape(1, Q, P)
-        ).reshape(K, B)
+    # identical to 4 decimals — tools/precision_ab.py).
+    rp = _rolled_reps(pool_reps, shifts, K)
+    u1q = u1.reshape(Q, P, W)
+    preds = (
+        jnp.einsum("qsd,ksd->kqs", u1q, rp, precision=prec)
+        + u[:, -1].reshape(1, Q, P)
+    ).reshape(K, B)
     cand_ids = jnp.broadcast_to(rids[:, None, :], (K, Q, P)).reshape(K, B)
 
     violates = preds > pos_pred[None, :] - 1.0  # template:875
@@ -663,17 +631,12 @@ def warp_pool_step(
     upd = batch.valid & (batch.y > 0) & found  # template:831
     lossm = jnp.where(upd, loss, 0.0)  # [B]; masked examples are exact no-ops
 
-    if pool_kernels:
-        gp, gp2, nrep = _fold_gp_kernels(
-            u1, lossm, j, shifts, P, pool_reps, interpret=kern_interp
-        )
-    else:
-        onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
-            jnp.float32
-        )  # [K, B]
-        nrep = _nrep_einsum(onehot, rp, Q, P, prec)
-        sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
-        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
+    onehot = (j[None, :] == jnp.arange(K, dtype=j.dtype)[:, None]).astype(
+        jnp.float32
+    )  # [K, B]
+    nrep = _nrep_einsum(onehot, rp, Q, P, prec)
+    sel = onehot * lossm[None, :]  # [K, B] gradient weight per candidate
+    gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
 
     # Gradients (warp_update, template:537-649; layout of losses._apply_pairwise).
     gi = lossm[:, None] * u1  # [B, W] (+ at the negative, - at the positive)
@@ -704,7 +667,6 @@ def bpr_pool_step(
     n_items: int,
     use_pallas: bool,
     user_pallas: bool,
-    pool_kernels: bool = False,
     n_shards: int = 1,
     axis_name=None,
     user_feats=None,
@@ -746,23 +708,12 @@ def bpr_pool_step(
     j = jnp.where(ok.any(axis=0), jnp.argmax(ok, axis=0), T - 1)
     u1 = with_unit_bias(u)
     prec = _precision(hp)
-    kern_interp = not use_pallas
-    if pool_kernels:
-        # BPR needs nrep BEFORE the loss exists (the loss is a function of
-        # the chosen negative's score), so the selected-rep gather runs
-        # standalone and the gradient fold follows the loss.
-        from lightfm_tpu.ops.pallas_pool import pool_select_pallas
-
-        nrep = pool_select_pallas(
-            pool_reps, j, shifts, n_examples=B, interpret=kern_interp
-        )
-    else:
-        rp = _rolled_reps(pool_reps, shifts, T)
-        u1q = u1.reshape(Q, P, W)
-        onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
-            jnp.float32
-        )
-        nrep = _nrep_einsum(onehot, rp, Q, P, prec)
+    rp = _rolled_reps(pool_reps, shifts, T)
+    u1q = u1.reshape(Q, P, W)
+    onehot = (j[None, :] == jnp.arange(T, dtype=j.dtype)[:, None]).astype(
+        jnp.float32
+    )
+    nrep = _nrep_einsum(onehot, rp, Q, P, prec)
 
     pos_pred = score_pairs(u, prep)
     neg_pred = score_pairs(u, nrep)
@@ -770,13 +721,8 @@ def bpr_pool_step(
     upd = batch.valid & (batch.y > 0)  # template:1116
     lossm = jnp.where(upd, loss, 0.0)
 
-    if pool_kernels:
-        gp, gp2, _ = _fold_gp_kernels(
-            u1, lossm, j, shifts, P, interpret=kern_interp
-        )
-    else:
-        sel = onehot * lossm[None, :]
-        gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
+    sel = onehot * lossm[None, :]
+    gp, gp2 = _fold_gp_einsum(sel, u1q, shifts, prec)
 
     gi = lossm[:, None] * u1
     gu = lossm[:, None] * with_unit_bias(nrep - prep)
@@ -855,11 +801,11 @@ def fast_epoch(
     state: ModelState, data, key, hp: Hyperparams, batch_size: int,
     mode="einsum", mesh=None,
 ):
-    """One fast-path epoch: triple-sort shuffle + scan over sorted batches.
+    """One fast-path epoch: item-sorted shuffle + scan over sorted batches.
 
-    ``mode`` is the static value from `fast_warp_eligible`: ``"kernels"``
-    runs the Pallas pool kernels, anything else truthy the rolled-einsum
-    formulation (``True`` from older callers behaves like "einsum").
+    ``mode`` is the static value from `fast_warp_eligible`; any truthy
+    value runs the rolled-einsum formulation (the only pool implementation
+    since the round-5 A/B removed the Pallas pool kernels).
 
     With a ``mesh`` (replicated tables + replicated examples; gated by
     `fast_warp_eligible`), each step runs under shard_map over the
@@ -870,7 +816,7 @@ def fast_epoch(
     update numerically identical to the single-chip step (the psum'd pool
     folds sum the same per-example terms in shard order).
     """
-    pool_kernels = mode == "kernels"
+    del mode  # historical: the Pallas pool-kernel mode was removed (r5 A/B)
     n_pad = data.packed.shape[1]
     n_batches = n_pad // batch_size
     kperm, kbatch = jax.random.split(key)
@@ -896,14 +842,14 @@ def fast_epoch(
             return bpr_pool_step(
                 state, batch, positives, train_items, su, sg, hp,
                 bkey, n_items=n_items, use_pallas=use_pallas,
-                user_pallas=user_pallas, pool_kernels=pool_kernels,
+                user_pallas=user_pallas,
                 n_shards=n_data, axis_name=axis_name,
                 user_feats=user_feats, item_feats=item_feats,
             )
         return warp_pool_step(
             state, batch, positives, su, sg, hp, bkey,
             n_items=n_items, use_pallas=use_pallas,
-            user_pallas=user_pallas, pool_kernels=pool_kernels,
+            user_pallas=user_pallas,
             n_shards=n_data, axis_name=axis_name,
             user_feats=user_feats, item_feats=item_feats,
         )

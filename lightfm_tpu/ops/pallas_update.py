@@ -29,20 +29,18 @@ them bit-identical.
 Restrictions: adagrad schedule, no lazy-L2 alpha, 2-D tables.
 Exactness: matches ops.updates' adagrad branch up to f32 summation order.
 
-STATUS — experimental, opt-in via LIGHTFM_TPU_PALLAS_UPDATE=1.  Correct
-everywhere (differential-tested incl. multi-block/ragged/hot-row cases;
-verified against numpy on real v5e at production sizes).  In isolation it
-is 3.9x faster than the XLA scatter pair (2.09ms vs 8.23ms per
-262k x 72-touch step — the round-1 version's losses from manual-DMA lane
-padding and serial chunk copies are gone).  Composed into the full WARP
-epoch it still LOSES (~1.3x slower at B=65536): the per-step argsort +
-payload gather + worklist construction sit on the critical path as extra
-kernels and the pallas_call remains a pipeline barrier, and at B=131072
-the composed program currently dies with a runtime INVALID_ARGUMENT
-(standalone scan compositions of the same shapes run fine — Mosaic/
-runtime interaction under investigation).  Default training keeps
-ops.updates' XLA scatters; the isolated win documents exactly how much
-is on the table for a future in-kernel sort.
+STATUS — `sorted_adagrad_update_pallas` is PRODUCTION: it is the table
+update of the fast training path (fast_warp._sorted_update), fed
+pre-sorted touches by the epoch shuffle, and is differential-tested
+(incl. multi-block/ragged/hot-row cases) and verified against numpy on
+real v5e at production sizes.  The UNSORTED entry below
+(`adagrad_update_pallas` = argsort + the sorted kernel) exists for
+microbenchmarks and differential tests only: composed into the generic
+epoch it measured ~1.3x slower than XLA's scatters (the per-step argsort
++ payload gather sit on the critical path) and its opt-in integration
+crashed with a runtime INVALID_ARGUMENT at B=131072, so the
+LIGHTFM_TPU_PALLAS_UPDATE product hook was removed in round 5
+(doc/roadmap.md).
 """
 
 from __future__ import annotations

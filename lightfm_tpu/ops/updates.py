@@ -106,25 +106,11 @@ def sparse_update(
         zero = jnp.float32(0.0)
         return table, acc, mom, zero, zero
 
-    import os
-
-    if (
-        os.environ.get("LIGHTFM_TPU_PALLAS_UPDATE") == "1"
-        and not adadelta
-        and alpha == 0.0
-        and not need_stats
-        and not squeeze
-        and jax.default_backend() == "tpu"
-    ):
-        # Experimental opt-in (see ops.pallas_update STATUS note).
-        from lightfm_tpu.ops.pallas_update import adagrad_update_pallas
-
-        table, acc = adagrad_update_pallas(
-            table, acc, idx, wg, learning_rate=learning_rate
-        )
-        zero = jnp.float32(0.0)
-        return table, acc, mom, zero, zero
-
+    # (The LIGHTFM_TPU_PALLAS_UPDATE opt-in that routed this scatter through
+    # the UNSORTED Pallas wrapper was removed in round 5: composed epochs
+    # measured 1.3x slower and the composition crashed with a runtime
+    # INVALID_ARGUMENT at B=131072 — the sorted kernel on the fast path is
+    # the one that earns its keep.  See doc/roadmap.md.)
     if not adadelta:
         # adagrad (template:376-389, 436-449); accumulators initialised to 1
         # at model init (`lightfm/lightfm.py:308-312`).

@@ -25,27 +25,6 @@ def _export_tpu(fn, *args):
     return export.export(jax.jit(fn), platforms=["tpu"])(*args)
 
 
-def test_pool_kernels_lower_for_tpu_at_production_shapes():
-    from lightfm_tpu.ops import pallas_pool as pp
-
-    B, P, K, W = 131072, 16384, 10, 72
-    u1 = jnp.zeros((B, W), jnp.float32)
-    pool = jnp.zeros((P, W), jnp.float32)
-    shifts = jnp.zeros((K,), jnp.int32)
-    j = jnp.zeros((B,), jnp.int32)
-    w = jnp.zeros((B,), jnp.float32)
-
-    _export_tpu(lambda a, b, c: pp.pool_scores_pallas(a, b, c), u1, pool, shifts)
-    _export_tpu(
-        lambda a, b, c, d, e: pp.pool_fold_pallas(a, b, c, d, n_slots=P, pool=e),
-        u1, w, j, shifts, pool,
-    )
-    _export_tpu(
-        lambda a, b, c: pp.pool_select_pallas(a, b, c, n_examples=B),
-        pool, j, shifts,
-    )
-
-
 def test_sorted_update_kernel_lowers_for_tpu():
     from lightfm_tpu.ops.pallas_update import sorted_adagrad_update_pallas
 

@@ -57,9 +57,6 @@ def main():
     from lightfm_tpu.ops.representation import score_pairs, with_unit_bias
     from lightfm_tpu.sparse import in_positives_slots
     import lightfm_tpu.fast_warp as fw
-    from lightfm_tpu.ops.pallas_pool import (
-        pool_fold_pallas, pool_scores_pallas,
-    )
     from lightfm_tpu.ops.pallas_update import sorted_adagrad_update_pallas
     from lightfm_tpu.train import build_train_data
     from lightfm_tpu.config import Hyperparams
@@ -168,46 +165,3 @@ def main():
 
     t = timeit(f_shuffle, data.packed, jax.random.key(1))
     print(f"triple-sort shuffle : {t*1e3:7.1f} ms/epoch = {per_step(t)}", flush=True)
-
-    # --- pool Pallas kernels LAST: the composed scores kernel can die with
-    # a runtime INVALID_ARGUMENT that POISONS the TPU client (every
-    # subsequent device op fails), so nothing may run after it.  Skip with
-    # ABLATE_SKIP_POOL_KERNELS=1.
-    import os
-    if os.environ.get("ABLATE_SKIP_POOL_KERNELS") == "1":
-        print("pool pallas kernels : skipped (ABLATE_SKIP_POOL_KERNELS=1)", flush=True)
-        return
-
-    @jax.jit
-    def f_scores_kern(item_table, xs):
-        def body(c, x):
-            u1s, pids, sh = x
-            pool = item_table[pids]
-            preds = pool_scores_pallas(u1s, pool, sh, interpret=INTERPRET)
-            return c + jnp.sum(preds), None
-        return jax.lax.scan(body, jnp.float32(0.0), xs)[0]
-
-    try:
-        print(f"pool scores pallas  : {per_step(timeit(f_scores_kern, item_table, (u1, pool_ids, shifts)))}", flush=True)
-    except Exception as e:
-        print(f"pool scores pallas FAILED: {e!r}", flush=True)
-
-    @jax.jit
-    def f_fold_kern(item_table, xs):
-        def body(c, x):
-            u1s, pids, sh, js, ls = x
-            pool = item_table[pids]
-            gp, nrep = pool_fold_pallas(u1s, ls, js, sh, n_slots=P, pool=pool, interpret=INTERPRET)
-            gp2 = pool_fold_pallas(u1s * u1s, ls * ls, js, sh, n_slots=P, interpret=INTERPRET)
-            return c + jnp.sum(gp) + jnp.sum(gp2) + jnp.sum(nrep), None
-        return jax.lax.scan(body, jnp.float32(0.0), xs)[0]
-
-    try:
-        print(f"pool fold pallas    : {per_step(timeit(f_fold_kern, item_table, (u1, pool_ids, shifts, j, lossm)))}", flush=True)
-    except Exception as e:
-        print(f"pool fold pallas FAILED: {e!r}", flush=True)
-
-
-
-if __name__ == "__main__":
-    main()

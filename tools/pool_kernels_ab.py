@@ -1,9 +1,11 @@
-"""A/B: fast-path pool einsums vs the Pallas pool kernels (ops/pallas_pool).
+"""A/B: fast-path modes over the REAL training path (`run_epochs`) at the
+bench's production shape (5M x 200k x 100k, D=64, B=131072): generic
+(fast=False) vs fast-einsum.  The mode is a static jit argument, so each
+mode compiles its own executable.
 
-Drives the REAL training path (`run_epochs`) at the bench's production
-shape (5M x 200k x 100k, D=64, B=131072) in all three modes per pairwise
-loss: generic (fast=False), fast-einsum, fast-kernels.  The mode is a
-static jit argument, so each mode compiles its own executable.
+The Pallas pool-kernel mode this tool existed to measure LOST its final
+composed A/B (2026-08-20, v5e, WARP: einsum 11.89M ex/s / 64s compile vs
+kernels 10.61M ex/s / 500s compile) and was removed from the library.
 
 Run on the TPU: python tools/pool_kernels_ab.py [epochs]
 """
@@ -26,7 +28,7 @@ LOSSES = sys.argv[2].split(",") if len(sys.argv) > 2 else ["warp", "bpr"]
 MODES = (
     [m if m != "False" else False for m in sys.argv[3].split(",")]
     if len(sys.argv) > 3
-    else [False, "einsum", "kernels"]
+    else [False, "einsum"]
 )
 
 
