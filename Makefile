@@ -14,7 +14,7 @@ test-full:
 # Quick signal: API + fast-path + kernel differential tests only.
 test-fast:
 	python -m pytest tests/test_api.py tests/test_fast_warp.py \
-	  tests/test_pallas_pool.py tests/test_tpu_lowering.py -q
+	  tests/test_tpu_lowering.py -q
 
 # One-line JSON perf record (runs on the real TPU when reachable;
 # fails fast with an explicit record when the device is down).

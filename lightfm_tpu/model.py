@@ -148,8 +148,12 @@ class LightFM:
         self.fast_precision = fast_precision
         self.shuffle_mode = shuffle_mode
         # TPU execution config: device mesh + table partitioning
-        # ("replicated" | "rows" | "components") + example-block sharding
-        # over the data axis (pod-scale inputs); see lightfm_tpu.parallel.
+        # ("replicated" | "rows" | "components" | "auto") + example-block
+        # sharding over the data axis (pod-scale inputs); see
+        # lightfm_tpu.parallel.  "auto" resolves at fit time: replicated
+        # while the model state fits the per-device budget (the layout the
+        # fast path requires — measured 1.9x the generic path per chip),
+        # row-sharded beyond it (capacity scaling; generic path).
         self.mesh = mesh
         self.table_partition = table_partition
         self.shard_examples = shard_examples
@@ -295,6 +299,45 @@ class LightFM:
             )
             self._mirror_snaps[attr] = m.copy()
             self._drop_state_dependent_cache()  # representations changed
+
+    def _resolve_table_partition(self):
+        """Resolve ``table_partition="auto"`` at fit time.
+
+        The decision (design.md "Layout decision"): REPLICATED tables +
+        data-parallel is strictly better per chip while the model state
+        fits HBM — it is the only layout the fast path supports, and the
+        fast path measured 1.9x the generic path on v5e at the production
+        shape (the generic path is what row-sharding would run).  "auto"
+        therefore picks replicated until the state (tables + optimizer
+        accumulators, f32) exceeds a per-device budget, then falls back to
+        row-sharding over the model axis for capacity.
+
+        Budget: LIGHTFM_TPU_REPLICATED_TABLE_BUDGET (bytes) when set, else
+        half the device's reported memory limit, else 4 GiB.
+        """
+        if self.table_partition != "auto":
+            return self.table_partition
+        if self.mesh is None or self._state is None:
+            return "replicated"
+        import os
+
+        raw = os.environ.get("LIGHTFM_TPU_REPLICATED_TABLE_BUDGET")
+        if raw:
+            budget = int(raw)
+        else:
+            budget = 4 << 30
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats and stats.get("bytes_limit"):
+                    budget = stats["bytes_limit"] // 2
+            except Exception:
+                pass
+        # table + acc (+ mom under adadelta) per side, f32.
+        n_arrays = 3 if self.learning_schedule == "adadelta" else 2
+        state_bytes = n_arrays * 4 * (
+            self._state.item_table.size + self._state.user_table.size
+        )
+        return "replicated" if state_bytes <= budget else "rows"
 
     def _save_checkpoint(self, path):
         """Atomic mid-fit checkpoint: write-to-temp + rename, so a kill
@@ -688,17 +731,18 @@ class LightFM:
             batch_size,
         )
 
+        table_partition = self._resolve_table_partition()
         if self.mesh is not None:
             from lightfm_tpu.parallel import shard_state, shard_train_data
 
-            self._state = shard_state(self._state, self.mesh, self.table_partition)
+            self._state = shard_state(self._state, self.mesh, table_partition)
             data = shard_train_data(data, self.mesh, self.shard_examples)
 
         from lightfm_tpu.fast_warp import fast_warp_eligible
 
         fast = fast_warp_eligible(
             hp, data, self.mesh, self.example_shuffle, batch_size,
-            table_partition=self.table_partition,
+            table_partition=table_partition,
             shard_examples=self.shard_examples,
         )
 

@@ -212,3 +212,27 @@ def test_row_sharding_with_indivisible_tables():
     pos.data[pos.data < 0] = 0.0
     pos.eliminate_zeros()
     assert auc_score(model, pos).mean() > 0.75
+
+
+@requires_8_devices
+def test_auto_table_partition_resolution(monkeypatch):
+    """table_partition="auto" (design.md "Layout decision"): replicated
+    while the state fits the per-device budget, rows beyond it."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    train = _small_data()
+
+    m = LightFM(loss="warp", random_state=10, mesh=mesh,
+                table_partition="auto")
+    m.fit(train, epochs=1)
+    assert m._resolve_table_partition() == "replicated"
+
+    monkeypatch.setenv("LIGHTFM_TPU_REPLICATED_TABLE_BUDGET", "1024")
+    m2 = LightFM(loss="warp", random_state=10, mesh=mesh,
+                 table_partition="auto")
+    m2.fit(train, epochs=1)
+    assert m2._resolve_table_partition() == "rows"
+    assert np.all(np.isfinite(np.asarray(m2.item_embeddings)))
+
+    # Without a mesh "auto" is just replicated (single-device semantics).
+    m3 = LightFM(loss="warp", random_state=10, table_partition="auto")
+    assert m3._resolve_table_partition() == "replicated"
