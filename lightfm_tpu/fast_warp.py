@@ -320,8 +320,14 @@ def _feistel_batch_of(n: int, n_batches: int, kperm) -> jax.Array:
     return r.astype(jnp.int32)
 
 
+def _ceil_bits(n: int) -> int:
+    """Bits needed to hold ids in [0, n)."""
+    return max(1, (int(n) - 1).bit_length())
+
+
 def shuffle_item_sorted(
-    packed, kperm, n_batches: int, batch_size: int, mode: str = "feistel"
+    packed, kperm, n_batches: int, batch_size: int, mode: str = "feistel",
+    n_users: int | None = None, n_items: int | None = None,
 ):
     """Per-epoch shuffle emitting item-sorted batches + user-sort metadata.
 
@@ -345,25 +351,53 @@ def shuffle_item_sorted(
     n = packed.shape[1]
     batch_of = (jnp.arange(n, dtype=jnp.int32) // batch_size).astype(jnp.int32)
 
+    # Key packing: when (batch bits + id bits) fit u32, the two-key sorts
+    # become single-PACKED-key sorts with one less operand each — measured
+    # ~25% off the shuffle on v5e (sort cost scales with operand count and
+    # key passes).  lax.sort is stable, and equal packed keys are exactly
+    # equal (batch, id) pairs, so the output is BITWISE identical to the
+    # two-key form; ids out of declared range (never produced by staging)
+    # would corrupt the pack, hence the fit checks.
+    nb_bits = _ceil_bits(n_batches)
+    ib = _ceil_bits(n_items) if n_items else 33
+    ub = _ceil_bits(n_users) if n_users else 33
+
     if mode == "sort":
         r = jax.random.bits(kperm, (n,), jnp.uint32)
         cols = jax.lax.sort([r] + [packed[i] for i in range(5)], num_keys=1)[1:]
         skeys = [batch_of, cols[1], cols[0], cols[2], cols[3], cols[4]]
+        s = jax.lax.sort(skeys, num_keys=2)
+        item_s, user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4], s[5]
+    elif nb_bits + ib <= 32:
+        assign = _feistel_batch_of(n, n_batches, kperm)
+        key1 = (assign.astype(jnp.uint32) << ib) | packed[1].astype(jnp.uint32)
+        s = jax.lax.sort(
+            [key1, packed[0], packed[2], packed[3], packed[4]], num_keys=1
+        )
+        item_s = (s[0] & jnp.uint32((1 << ib) - 1)).astype(jnp.int32)
+        user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4]
     else:
         assign = _feistel_batch_of(n, n_batches, kperm)
         skeys = [assign] + [packed[i] for i in (1, 0, 2, 3, 4)]
-    s = jax.lax.sort(skeys, num_keys=2)
-    item_s, user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4], s[5]
+        s = jax.lax.sort(skeys, num_keys=2)
+        item_s, user_s, v_s, w_s, valid_s = s[1], s[2], s[3], s[4], s[5]
     shuffled = jnp.stack([user_s, item_s, v_s, w_s, valid_s]).reshape(
         5, n_batches, batch_size
     )
     shuffled = jnp.swapaxes(shuffled, 0, 1)  # [n_batches, 5, B]
 
     pos_in_batch = (jnp.arange(n, dtype=jnp.int32) % batch_size).astype(jnp.int32)
-    su = jax.lax.sort([batch_of, user_s, pos_in_batch], num_keys=2)
-    suid = su[1].reshape(n_batches, batch_size)
-    sigma = su[2].reshape(n_batches, batch_size)
-    return shuffled, suid, sigma
+    if nb_bits + ub <= 32:
+        key2 = (batch_of.astype(jnp.uint32) << ub) | user_s.astype(jnp.uint32)
+        su = jax.lax.sort([key2, pos_in_batch], num_keys=1)
+        suid = (su[0] & jnp.uint32((1 << ub) - 1)).astype(jnp.int32)
+        sigma = su[1]
+    else:
+        su = jax.lax.sort([batch_of, user_s, pos_in_batch], num_keys=2)
+        suid, sigma = su[1], su[2]
+    return shuffled, suid.reshape(n_batches, batch_size), sigma.reshape(
+        n_batches, batch_size
+    )
 
 
 def _unpack_batch5(packed: jax.Array) -> Batch:
@@ -822,10 +856,11 @@ def fast_epoch(
     kperm, kbatch = jax.random.split(key)
     keys = jax.random.split(kbatch, n_batches)
 
-    shuffled, suid, sigma = shuffle_item_sorted(
-        data.packed, kperm, n_batches, batch_size, hp.shuffle_mode
-    )
     n_items = data.item_feats.n_rows
+    shuffled, suid, sigma = shuffle_item_sorted(
+        data.packed, kperm, n_batches, batch_size, hp.shuffle_mode,
+        n_users=data.user_feats.n_rows, n_items=n_items,
+    )
     use_pallas = jax.default_backend() == "tpu"
     user_pallas = hp.user_pallas
     n_data = mesh.shape["data"] if mesh is not None else 1

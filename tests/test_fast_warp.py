@@ -117,6 +117,15 @@ def test_shuffle_item_sorted_invariants():
     shuffled, suid, sigma = jax.jit(
         fw.shuffle_item_sorted, static_argnums=(2, 3)
     )(jnp.asarray(packed), jax.random.key(3), n_batches, B)
+    # The packed-u32-key formulation (engaged when id bits fit) must be
+    # BITWISE identical to the two-key sorts (lax.sort is stable and equal
+    # packed keys are exactly equal key pairs).
+    p_sh, p_su, p_sg = jax.jit(
+        fw.shuffle_item_sorted, static_argnums=(2, 3, 4, 5, 6)
+    )(jnp.asarray(packed), jax.random.key(3), n_batches, B, "feistel", 300, 500)
+    assert np.array_equal(np.asarray(p_sh), np.asarray(shuffled))
+    assert np.array_equal(np.asarray(p_su), np.asarray(suid))
+    assert np.array_equal(np.asarray(p_sg), np.asarray(sigma))
     shuffled = np.asarray(shuffled)
     suid = np.asarray(suid)
     sigma = np.asarray(sigma)

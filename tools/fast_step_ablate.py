@@ -165,3 +165,7 @@ def main():
 
     t = timeit(f_shuffle, data.packed, jax.random.key(1))
     print(f"triple-sort shuffle : {t*1e3:7.1f} ms/epoch = {per_step(t)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
