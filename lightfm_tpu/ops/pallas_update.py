@@ -52,9 +52,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_R = 2048  # table rows per block (VMEM-bounded)
-CHUNK = 1024  # touches per worklist step
-TILE_R = 256  # one-hot tile rows (MXU-friendly)
+import os as _os
+
+# Kernel tiling (env-overridable for A/B measurement; per-process, read at
+# import).  Cost model: one-hot MXU flops scale with CHUNK x touched-span,
+# block streaming with BLOCK_R x visit count — see tools/update_tune.py.
+BLOCK_R = int(_os.environ.get("LIGHTFM_TPU_UPD_BLOCK_R", 2048))
+CHUNK = int(_os.environ.get("LIGHTFM_TPU_UPD_CHUNK", 1024))
+TILE_R = int(_os.environ.get("LIGHTFM_TPU_UPD_TILE_R", 256))
 
 _SENTINEL = jnp.int32(2**30)  # touch row id that matches no block
 

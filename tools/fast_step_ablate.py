@@ -157,6 +157,36 @@ def main():
     print(f"item sorted update  : {per_step(timeit(f_upd, item_table, item_acc, (pid, wg)))}", flush=True)
     print(f"user sorted update  : {per_step(timeit(f_upd, user_table, user_acc, (suid, wg)))}", flush=True)
 
+    # Same components at the production default precision (bf16-input MXU).
+    @jax.jit
+    def f_upd_bf16(table, acc, xs):
+        def body(c, x):
+            t, a = c
+            ids, g = x
+            t, a = sorted_adagrad_update_pallas(
+                t, a, ids, g, learning_rate=LR, interpret=INTERPRET,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            return (t, a), None
+        return jax.lax.scan(body, (table, acc), xs)[0]
+
+    print(f"item update (bf16)  : {per_step(timeit(f_upd_bf16, item_table, item_acc, (pid, wg)))}", flush=True)
+    print(f"user update (bf16)  : {per_step(timeit(f_upd_bf16, user_table, user_acc, (suid, wg)))}", flush=True)
+
+    @jax.jit
+    def f_scores_bf16(item_table, xs):
+        def body(c, x):
+            u1s, pids, sh = x
+            pool = item_table[pids]
+            rp = jnp.stack([jnp.roll(pool, -sh[kk], axis=0) for kk in range(K)])
+            u1q = u1s.reshape(B // P, P, W)
+            preds = jnp.einsum("qsd,ksd->kqs", u1q, rp,
+                               precision=jax.lax.Precision.DEFAULT)
+            return c + jnp.sum(preds), None
+        return jax.lax.scan(body, jnp.float32(0.0), xs)[0]
+
+    print(f"pool scores (bf16)  : {per_step(timeit(f_scores_bf16, item_table, (u1, pool_ids, shifts)))}", flush=True)
+
     # --- shuffle sorts (per epoch, amortized) -----------------------------
     @jax.jit
     def f_shuffle(packed, key):
