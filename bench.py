@@ -424,6 +424,13 @@ def _bench_large_scale(
             {"pool_kernels": "einsum", "shuffle_mode": "sort"},
             {"fast_path": "off"},
         ):
+            # The generic executable compiles ~560s cold (see the
+            # comparison-child leash below) — the last-resort generic rung
+            # needs the same longer timeout or it can never complete on a
+            # cold compilation cache.
+            rung_timeout = (
+                650.0 if knobs.get("fast_path") == "off" else _CHILD_TIMEOUT_S
+            )
             for _attempt in range(2):  # retry once: the crash is flaky
                 if _remaining() < min_child_s:
                     failures.append(
@@ -431,7 +438,7 @@ def _bench_large_scale(
                     )
                     break
                 try:
-                    entry = _launch(loss, knobs)
+                    entry = _launch(loss, knobs, timeout_s=rung_timeout)
                     break
                 except Exception as e:
                     # Keep the TAIL (the exception line is at the end of a

@@ -332,12 +332,28 @@ class LightFM:
                     budget = stats["bytes_limit"] // 2
             except Exception:
                 pass
-        # table + acc (+ mom under adadelta) per side, f32.
-        n_arrays = 3 if self.learning_schedule == "adadelta" else 2
-        state_bytes = n_arrays * 4 * (
-            self._state.item_table.size + self._state.user_table.size
+        # Count the ACTUAL state pytree (ModelState allocates the adadelta
+        # mom arrays full-size even under adagrad — state.py init_state).
+        state_bytes = sum(
+            x.size * x.dtype.itemsize for x in self._state
         )
-        return "replicated" if state_bytes <= budget else "rows"
+        if state_bytes <= budget:
+            return "replicated"
+        n_model = dict(
+            zip(self.mesh.axis_names, self.mesh.devices.shape)
+        ).get("model", 1)
+        if n_model <= 1:
+            import warnings
+
+            warnings.warn(
+                f"table_partition='auto': model state ({state_bytes >> 20} "
+                f"MiB) exceeds the per-device replication budget "
+                f"({budget >> 20} MiB), but the mesh's 'model' axis has "
+                "size 1, so row-sharding cannot reduce per-device memory. "
+                "Build the mesh with n_model > 1 for capacity scaling.",
+                stacklevel=3,
+            )
+        return "rows"
 
     def _save_checkpoint(self, path):
         """Atomic mid-fit checkpoint: write-to-temp + rename, so a kill
@@ -765,18 +781,41 @@ class LightFM:
             # remaining chunks draw exactly the seeds an uninterrupted
             # chunked run would have drawn — kill-and-resume reproduces
             # the uninterrupted trajectory bit-for-bit.
+            # NOTE: a ragged final chunk (epochs % N != 0) compiles a
+            # second multi-epoch executable for its smaller seed shape
+            # (one-time, persisted by the compilation cache); a divisible
+            # cadence avoids it.  verbose=True dispatches per epoch inside
+            # each chunk, keeping the per-epoch progress/finite checks of
+            # the non-checkpointed verbose path.
             n_chunk = int(checkpoint_every_n_epochs)
+            progress = (
+                iter(self._progress(epochs, verbose=verbose))
+                if verbose
+                else None
+            )
             done = 0
             while done < epochs:
                 n = min(n_chunk, epochs - done)
                 seeds = self.random_state.randint(
                     0, np.iinfo(np.int32).max, size=n
                 ).astype(np.uint32)
-                self._state = run_epochs(
-                    self._state, data, jnp.asarray(seeds), hp, batch_size,
-                    mesh=self.mesh, shuffle=self.example_shuffle, fast=fast,
-                )
-                self._check_finite()
+                if verbose:
+                    for i in range(n):
+                        next(progress, None)
+                        key = jax.random.key(int(seeds[i]))
+                        self._state = run_epoch(
+                            self._state, data, key, hp, batch_size,
+                            mesh=self.mesh, shuffle=self.example_shuffle,
+                            fast=fast,
+                        )
+                        self._check_finite()
+                else:
+                    self._state = run_epochs(
+                        self._state, data, jnp.asarray(seeds), hp,
+                        batch_size, mesh=self.mesh,
+                        shuffle=self.example_shuffle, fast=fast,
+                    )
+                    self._check_finite()
                 done += n
                 self._save_checkpoint(checkpoint_path)
             self.fit_stats_ = stats.finish()

@@ -24,6 +24,9 @@ STEPS = 10  # scanned steps per timed call
 
 G = int(sys.argv[1]) if len(sys.argv) > 1 else 256  # rows per grid step
 S = int(sys.argv[2]) if len(sys.argv) > 2 else 16  # outstanding DMAs
+# The drain tail iterates [G-S, G); S > G would walk negative touch
+# indices (out-of-range slices + waits on never-started semaphores).
+S = min(S, G)
 
 
 def _kernel(idx_ref, table_ref, out_ref, sems):
