@@ -71,6 +71,14 @@ def _round_up(x: int, m: int) -> int:
 # direct broadcast compare (O(T x I), measured 5.5x faster than sort on
 # v5e); above it the O(I log I) sort + binary search wins (e.g. the
 # rank-every-item-per-user property tests).
+#
+# The same limit gates the Pallas-fused TPU path (predict_ranks_padded).
+# Hardware sweep (tools/rank_t_crossover.py, v5e, 8192 x 100k, D=64,
+# production blocks UB=256/IB=2048): the fused kernel beats the blocked
+# sort at EVERY T it compiles — T=8: 136k vs 94k users/s, T=16: 101k vs
+# 74k, T=32: 58k vs 40k — and Mosaic fails to compile it at T >= 64, so
+# 32 is the compile-safety boundary, not a perf crossover; wide-T tiers
+# correctly fall back to the sort paths.
 COUNT_T_LIMIT = 32
 
 
