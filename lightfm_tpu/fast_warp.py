@@ -53,6 +53,7 @@ reference implementation of record for loss semantics.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -455,6 +456,145 @@ def _feature_update(table, acc, feats: PaddedRows, rows, g, lr: float,
     return table, acc
 
 
+class TransposedFeats(NamedTuple):
+    """Transposed feature lists split by row width for the aggregated
+    hybrid update (`model._transposed_features` builds it at staging).
+
+    ``thin``: PaddedRows over the narrow rows (identity columns transpose
+    to width-1 rows) — walked with cheap [block, C] gathers.
+    ``fat_rows``/``fat_w``/``fat_w2``: the wide rows (tag/genre columns
+    list hundreds of entities) as DENSE ``[M, n_entities]`` weight
+    matrices — their walk is an MXU matmul against ``G`` instead of a
+    padding-inflated gather.  ``fat_w2`` holds the SQUARED weights for
+    the squared-gradient half; when every weight is exactly representable
+    squared (the ubiquitous binary-weight case) it is the SAME array as
+    ``fat_w``.  Stored bf16 under ``fast_precision="default"`` (the MXU
+    pass truncates the operand to bf16 anyway, so pre-truncating is
+    bit-identical and halves the HBM stream).
+    """
+
+    thin: PaddedRows
+    fat_rows: jax.Array | None  # int32 [M] feature ids of the fat rows
+    fat_w: jax.Array | None  # [M, n_entities] weights (f32 or bf16)
+    fat_w2: jax.Array | None  # [M, n_entities] squared weights
+
+
+def _transposed_feature_sums(feats_T, G: jax.Array, block: int = 8192):
+    """Per-feature weighted sums of per-entity gradient rows.
+
+    ``G`` is the ``[n_entities, 2W]`` stacked ``[G1 | G2]`` block of
+    per-entity gradient sums; ``feats_T`` is the TRANSPOSED feature
+    structure (row f lists the entities carrying feature f with weights
+    ``w``).  Returns ``[n_features, 2W]`` with
+    ``S1[f] = sum_e w * G1[e]`` and ``S2[f] = sum_e w^2 * G2[e]`` — the
+    exact per-feature gradient / squared-gradient sums of the expanded
+    per-(entity, feature) touch set (`_feature_update`), computed with
+    ZERO scatters: gathers over the transposed lists plus einsums.
+    Blocked over features so the [block, P, 2W] gather stays bounded.
+    """
+    W2 = G.shape[1]
+    W = W2 // 2
+
+    def fold(idx, w):
+        emb = G[idx]  # [..., P, 2W]
+        s1 = jnp.einsum("...p,...pd->...d", w, emb[..., :W])
+        s2 = jnp.einsum("...p,...pd->...d", w * w, emb[..., W:])
+        return jnp.concatenate([s1, s2], axis=-1)
+
+    fat = None
+    if isinstance(feats_T, TransposedFeats):
+        fat = feats_T
+        feats_T = feats_T.thin
+    if isinstance(feats_T, PaddedRows):
+        base_idx, base_wts = feats_T.idx, feats_T.wts
+        over = None
+    else:  # ChunkedRows
+        base_idx, base_wts = feats_T.base.idx, feats_T.base.wts
+        over = feats_T
+
+    # Every fold materialises a [rows, width, 2W] gather; bound it to
+    # ~128MB f32 regardless of the structure's padded width.
+    budget_elems = 1 << 25
+    F = base_idx.shape[0]
+    per_row = max(1, base_idx.shape[1] * W2)
+    block = max(8, min(block, budget_elems // per_row))
+    n_blocks = -(-F // block)
+    f_pad = n_blocks * block
+    rows = jnp.arange(f_pad, dtype=jnp.int32) % F  # wrapped pad (discarded)
+
+    def body(_, blk_rows):
+        return None, fold(base_idx[blk_rows], base_wts[blk_rows])
+
+    _, S = jax.lax.scan(body, None, rows.reshape(n_blocks, block))
+    S = S.reshape(f_pad, W2)[:F]
+
+    if over is not None:
+        # Overflow tier: fold each chunk over its M+1 overflow rows (row M
+        # is all-zero padding), then route back per feature via over_slot.
+        # Wide chunks are re-split column-wise so each fold's gather stays
+        # inside the budget (column splits just add more summands).
+        oi, ow = over.over_idx, over.over_wts
+        n_ch, M1, C = oi.shape
+        sub = C
+        while sub > 8 and M1 * sub * W2 > budget_elems:
+            sub //= 2
+        if sub < C:
+            k = C // sub
+            oi = oi.reshape(n_ch, M1, k, sub).transpose(0, 2, 1, 3).reshape(
+                n_ch * k, M1, sub
+            )
+            ow = ow.reshape(n_ch, M1, k, sub).transpose(0, 2, 1, 3).reshape(
+                n_ch * k, M1, sub
+            )
+
+        def chunk_body(acc, xs):
+            idx_c, wts_c = xs  # [M+1, sub]
+            return acc + fold(idx_c, wts_c)[over.over_slot], None
+
+        S, _ = jax.lax.scan(chunk_body, S, (oi, ow))
+
+    if fat is not None and fat.fat_rows is not None:
+        # Fat tier: S1 += W @ G1, S2 += W^2 @ G2 on the MXU.  bf16 weight
+        # storage composes with a DEFAULT-precision pass (identical
+        # truncation); f32 storage runs HIGHEST for exactness.
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if fat.fat_w.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
+        s1 = jnp.dot(
+            fat.fat_w, G[:, :W], preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        s2 = jnp.dot(
+            fat.fat_w2, G[:, W:], preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        S = S.at[fat.fat_rows].add(jnp.concatenate([s1, s2], axis=1))
+    return S
+
+
+def _aggregated_feature_update(table, acc, feats_T, G, lr: float):
+    """Scatter-free adagrad update through an explicit feature matrix.
+
+    Exact reformulation of one expanded-touch `_feature_update` call:
+    per-feature sums come from the transposed walk, then the table/acc
+    move DENSELY (untouched features have zero sums — exact no-ops, and
+    every touch reads this call's pre-call accumulator exactly like
+    `_feature_update`).  XLA scatters serialize duplicate rows, and
+    hybrid feature updates concentrate ~1M touches/step on a few
+    thousand hot tag rows — measured 36.8 ms/step at the production
+    hybrid shape; this formulation's pieces (per-entity sums on the MXU
+    worklist kernel + transposed gathers + dense streams) total ~4 ms.
+    """
+    W = table.shape[1]
+    S = _transposed_feature_sums(feats_T, G)
+    lrl = lr * jax.lax.rsqrt(acc)
+    table = table - lrl * S[:, :W]
+    acc = acc + S[:, W:]
+    return table, acc
+
+
 def _roll_ids(pool_ids, shifts, K: int):
     """K rotated views of the pool's ids ([K, P]; tiny)."""
     return jnp.stack([jnp.roll(pool_ids, -shifts[k], axis=0) for k in range(K)])
@@ -507,6 +647,7 @@ def _apply_pool_updates(
     lr: float, use_pallas: bool, user_pallas: bool,
     precision=jax.lax.Precision.HIGHEST,
     user_feats=None, item_feats=None,
+    user_feats_T=None, item_feats_T=None,
 ):
     """Shared fast-path update pass (positive pair / pool negatives / user).
 
@@ -537,26 +678,75 @@ def _apply_pool_updates(
             state.item_table, state.item_acc, pos_ids, -gi, lr, use_pallas,
             precision,
         )
+        # --- item table: pool negatives (P-row scatter) -----------------
+        lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
+        item_table = item_table.at[pool_ids].add(-(lrp * gp))
+        item_acc = item_acc.at[pool_ids].add(gp2)
+    elif item_feats_T is not None:
+        # Aggregated hybrid update (scatter-free on the feature table):
+        # per-item gradient sums -> transposed walk -> dense table move.
+        # Positives and pool apply as TWO dense phases so pool touches
+        # read the post-positive accumulator, exactly like the sequential
+        # `_feature_update` pair they replace (hot tag features see large
+        # within-step accumulator bumps; collapsing the phases measurably
+        # shifted training quality).
+        n_i = item_feats.n_rows
+        W = gi.shape[1]
+        if use_pallas:
+            # Positive ids arrive SORTED: per-item [sum(-gi) | sum(gi^2)]
+            # via the one-hot MXU worklist (no scatter at all).
+            from lightfm_tpu.ops.pallas_update import sorted_grad_sums_pallas
+
+            Gp = sorted_grad_sums_pallas(
+                pos_ids, -gi, n_rows=n_i, precision=precision
+            )
+        else:
+            Gp = jnp.zeros((n_i, 2 * W), jnp.float32).at[pos_ids].add(
+                jnp.concatenate([-gi, gi * gi], axis=1)
+            )
+        item_table, item_acc = _aggregated_feature_update(
+            state.item_table, state.item_acc, item_feats_T, Gp, lr
+        )
+        Gn = jnp.zeros((n_i, 2 * W), jnp.float32).at[pool_ids].add(
+            jnp.concatenate([gp, gp2], axis=1)
+        )
+        item_table, item_acc = _aggregated_feature_update(
+            item_table, item_acc, item_feats_T, Gn, lr
+        )
     else:
         item_table, item_acc = _feature_update(
             state.item_table, state.item_acc, item_feats, pos_ids, -gi, lr
         )
-
-    # --- item table: pool negatives (P-row scatter) ---------------------
-    if item_identity:
-        lrp = lr * jax.lax.rsqrt(item_acc[pool_ids])
-        item_table = item_table.at[pool_ids].add(-(lrp * gp))
-        item_acc = item_acc.at[pool_ids].add(gp2)
-    else:
         item_table, item_acc = _feature_update(
             item_table, item_acc, item_feats, pool_ids, gp, lr, g2=gp2
         )
 
     # --- user table -----------------------------------------------------
     if not user_identity:
-        user_table, user_acc = _feature_update(
-            state.user_table, state.user_acc, user_feats, uid, gu, lr
-        )
+        if user_feats_T is not None:
+            n_u = user_feats.n_rows
+            W = gu.shape[1]
+            if use_pallas:
+                from lightfm_tpu.ops.pallas_update import (
+                    sorted_grad_sums_pallas,
+                )
+
+                # suid/sigma give the user-sorted gradient stream (the
+                # same reorder the identity user_pallas path uses).
+                Gu = sorted_grad_sums_pallas(
+                    suid, gu[sigma], n_rows=n_u, precision=precision
+                )
+            else:
+                Gu = jnp.zeros((n_u, 2 * W), jnp.float32).at[uid].add(
+                    jnp.concatenate([gu, gu * gu], axis=1)
+                )
+            user_table, user_acc = _aggregated_feature_update(
+                state.user_table, state.user_acc, user_feats_T, Gu, lr
+            )
+        else:
+            user_table, user_acc = _feature_update(
+                state.user_table, state.user_acc, user_feats, uid, gu, lr
+            )
     elif user_pallas:
         sgu = gu[sigma]  # reorder gradients into user-sorted order
         user_table, user_acc = _sorted_update(
@@ -602,6 +792,8 @@ def warp_pool_step(
     axis_name=None,
     user_feats=None,
     item_feats=None,
+    user_feats_T=None,
+    item_feats_T=None,
 ) -> ModelState:
     """One fast-path WARP step over an ITEM-SORTED batch.
 
@@ -685,6 +877,7 @@ def warp_pool_step(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
         user_feats=user_feats, item_feats=item_feats,
+        user_feats_T=user_feats_T, item_feats_T=item_feats_T,
     )
 
 
@@ -705,6 +898,8 @@ def bpr_pool_step(
     axis_name=None,
     user_feats=None,
     item_feats=None,
+    user_feats_T=None,
+    item_feats_T=None,
 ) -> ModelState:
     """One fast-path BPR step over an ITEM-SORTED batch.
 
@@ -770,6 +965,7 @@ def bpr_pool_step(
         state, uid, pos_ids, gi, gu, suid, sigma, pool_ids, gp, gp2,
         hp.learning_rate, use_pallas, user_pallas, prec,
         user_feats=user_feats, item_feats=item_feats,
+        user_feats_T=user_feats_T, item_feats_T=item_feats_T,
     )
 
 
@@ -866,7 +1062,8 @@ def fast_epoch(
     n_data = mesh.shape["data"] if mesh is not None else 1
 
     def step(state, batch, su, sg, bkey, positives, train_items, axis_name,
-             user_feats=None, item_feats=None):
+             user_feats=None, item_feats=None,
+             user_feats_T=None, item_feats_T=None):
         if hp.loss == "logistic":
             return logistic_sorted_step(
                 state, batch, su, sg, hp,
@@ -880,6 +1077,7 @@ def fast_epoch(
                 user_pallas=user_pallas,
                 n_shards=n_data, axis_name=axis_name,
                 user_feats=user_feats, item_feats=item_feats,
+                user_feats_T=user_feats_T, item_feats_T=item_feats_T,
             )
         return warp_pool_step(
             state, batch, positives, su, sg, hp, bkey,
@@ -887,6 +1085,7 @@ def fast_epoch(
             user_pallas=user_pallas,
             n_shards=n_data, axis_name=axis_name,
             user_feats=user_feats, item_feats=item_feats,
+            user_feats_T=user_feats_T, item_feats_T=item_feats_T,
         )
 
     if mesh is not None:
@@ -940,6 +1139,8 @@ def fast_epoch(
                     state, batch, su, sg, bkey,
                     data.positives, data.train_items, None,
                     user_feats=data.user_feats, item_feats=data.item_feats,
+                    user_feats_T=data.user_feats_T,
+                    item_feats_T=data.item_feats_T,
                 ),
                 None,
             )

@@ -34,6 +34,12 @@ __all__ = ["LightFM"]
 
 CYTHON_DTYPE = np.float32  # the reference's on-disk dtype; kept for parity
 
+# Cross-model memo for staged transposed-feature structures (the hybrid
+# fast path's fat tier is a few hundred MB of build+upload; see
+# LightFM._transposed_features).  Keyed by matrix identity + content
+# fingerprint with a weakref liveness guard; bounded FIFO.
+_TRANSPOSE_MEMO: dict = {}
+
 # Public attribute name -> (internal fused array, column view).  The
 # reference exposes 12 separate arrays (`lightfm/lightfm.py:243-257`);
 # internally biases live in the LAST column of each width-padded table
@@ -299,6 +305,106 @@ class LightFM:
             )
             self._mirror_snaps[attr] = m.copy()
             self._drop_state_dependent_cache()  # representations changed
+
+    def _transposed_features(self, csr, padded, batch_size):
+        """Transposed feature lists for the aggregated hybrid fast-path
+        update, or None when it should not engage (identity features, or
+        entity+feature counts so large that the dense per-step table
+        streams of the aggregated formulation would dominate the batch
+        work).  Memoized by the feature matrix's identity."""
+        from lightfm_tpu.sparse import PaddedRows
+
+        if not isinstance(padded, PaddedRows):
+            return None
+        # The aggregated update streams [n_entities + n_features, 2W]
+        # densely every step; keep that proportional to the batch work
+        # (beyond it the expanded-touch scatter path costs less).
+        if padded.n_rows + padded.n_cols > 32 * batch_size:
+            return None
+        # Split the transpose by row width: identity columns transpose to
+        # width-1 rows (cheap padded gathers), tag/genre columns to rows
+        # listing hundreds of entities — those become DENSE [M, n_entities]
+        # weight matrices whose walk is one MXU matmul per gradient half
+        # instead of a padding-inflated gather (measured: the chunked
+        # gather walk alone cost ~29 ms/step at the production hybrid
+        # shape; the dense fat tier streams in ~1 ms).
+        # Module-level memo (not the per-model serving cache): the fat
+        # tier is a few hundred MB built+uploaded from the CSR, and
+        # refitting a fresh model on the same features — the benchmark /
+        # hyperparameter-search pattern — must not pay it again.
+        key = (f"feats_T_{self.fast_precision}", id(csr), content_fingerprint(csr))
+        hit = _TRANSPOSE_MEMO.get(key)
+        if hit is not None:
+            ref, val = hit
+            if ref() is csr:
+                return val
+        val = self._build_transposed(csr)
+        try:
+            if len(_TRANSPOSE_MEMO) >= 8:  # bounded: drop the oldest
+                _TRANSPOSE_MEMO.pop(next(iter(_TRANSPOSE_MEMO)))
+            _TRANSPOSE_MEMO[key] = (weakref.ref(csr), val)
+        except TypeError:
+            pass
+        return val
+
+    _FAT_TIER_LIMIT_BYTES = 768 << 20  # dense fat-tier budget per matrix
+
+    def _build_transposed(self, csr):
+        import scipy.sparse as _sp
+
+        from lightfm_tpu.fast_warp import TransposedFeats
+        from lightfm_tpu.sparse import pad_csr
+
+        csr_t = csr.T.tocsr()
+        lengths = np.diff(csr_t.indptr)
+        C = 8
+        fat = np.flatnonzero(lengths > C)
+        itemsize = 2 if self.fast_precision == "default" else 4
+        if len(fat) and len(fat) * csr_t.shape[1] * itemsize > (
+            self._FAT_TIER_LIMIT_BYTES
+        ):
+            # Fat tier over budget: fall back to the chunked gather walk.
+            return pad_csr(csr_t, pad_multiple=8, width_cap=8, chunk_width=512)
+        if len(fat):
+            keep = np.ones(csr_t.shape[0], np.float32)
+            keep[fat] = 0.0
+            thin_csr = _sp.diags(keep).dot(csr_t).tocsr()
+            thin_csr.eliminate_zeros()
+            thin = pad_csr(thin_csr, pad_multiple=1)
+            dense = np.asarray(csr_t[fat].todense(), dtype=np.float32)
+            sq = dense * dense
+            import ml_dtypes
+
+            # bf16 storage halves the per-step stream but must not round
+            # the DATA (the scatter path it replaces keeps f32 weights):
+            # only when both matrices round-trip exactly (the ubiquitous
+            # binary-weight case, where sq is dense too).
+            bf16_ok = (
+                self.fast_precision == "default"
+                and np.array_equal(
+                    dense.astype(ml_dtypes.bfloat16).astype(np.float32),
+                    dense,
+                )
+                and np.array_equal(
+                    sq.astype(ml_dtypes.bfloat16).astype(np.float32), sq
+                )
+            )
+            dt = jnp.bfloat16 if bf16_ok else jnp.float32
+            fat_w = jnp.asarray(dense, dtype=dt)
+            fat_w2 = (
+                fat_w if np.array_equal(sq, dense)
+                else jnp.asarray(sq, dtype=dt)
+            )
+            return TransposedFeats(
+                thin=thin,
+                fat_rows=jnp.asarray(fat.astype(np.int32)),
+                fat_w=fat_w,
+                fat_w2=fat_w2,
+            )
+        return TransposedFeats(
+            thin=pad_csr(csr_t, pad_multiple=1),
+            fat_rows=None, fat_w=None, fat_w2=None,
+        )
 
     def _resolve_table_partition(self):
         """Resolve ``table_partition="auto"`` at fit time.
@@ -761,6 +867,20 @@ class LightFM:
             table_partition=table_partition,
             shard_examples=self.shard_examples,
         )
+        if fast and hp.loss in ("warp", "bpr"):
+            # Hybrid aggregated update: stage the TRANSPOSED feature lists
+            # so feature-table updates run scatter-free
+            # (fast_warp._aggregated_feature_update); None for identity
+            # sides or when the dense per-step streams would outgrow the
+            # batch-proportional budget.
+            data = data._replace(
+                user_feats_T=self._transposed_features(
+                    user_features, data.user_feats, batch_size
+                ),
+                item_feats_T=self._transposed_features(
+                    item_features, data.item_feats, batch_size
+                ),
+            )
 
         # Staged device-resident training set, exposed so callers (warm
         # re-fits, benchmarks) can re-dispatch epochs without re-paying host

@@ -161,28 +161,11 @@ def adagrad_update_pallas(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("learning_rate", "interpret", "precision")
-)
-def sorted_adagrad_update_pallas(
-    table: jax.Array,  # f32 [R, W]
-    acc: jax.Array,  # f32 [R, W]
-    sidx: jax.Array,  # int32 [M] NON-DECREASING touch rows (masked: wg 0)
-    swg: jax.Array,  # f32 [M, W] per-touch gradients in sidx order
-    *,
-    learning_rate: float,
-    interpret: bool = False,
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-):
-    """Sorted-touch entry: skips the sort for callers whose touches arrive
-    pre-sorted (e.g. item-sorted batches, where gradient rows are computed
-    directly in sorted order and no per-step reorder exists at all).
 
-    Touches with zero gradient are exact no-ops wherever they sort (they
-    only widen a block's visited span); rows >= R are clamped to the
-    sentinel and excluded from block spans.
-    """
-    R, W = table.shape
+def _build_worklist(sidx, swg, R: int, W: int):
+    """Sorted touches -> (padded touches, per-grid-slot block/chunk ids,
+    first/last-visit flags, grid length).  Shared by the adagrad-update and
+    raw-sums kernels; all shapes static."""
     M = sidx.shape[0]
     # Ragged last block: Pallas pads out-of-bounds block reads and masks
     # out-of-bounds writes, and no real touch lands beyond R, so the tail
@@ -242,6 +225,32 @@ def sorted_adagrad_update_pallas(
     flags = jnp.stack(
         [first_visit.astype(jnp.int32), last_visit.astype(jnp.int32)], axis=1
     )
+    return sidx, swg, b_of, c_of2.astype(jnp.int32), flags, L
+
+
+@functools.partial(
+    jax.jit, static_argnames=("learning_rate", "interpret", "precision")
+)
+def sorted_adagrad_update_pallas(
+    table: jax.Array,  # f32 [R, W]
+    acc: jax.Array,  # f32 [R, W]
+    sidx: jax.Array,  # int32 [M] NON-DECREASING touch rows (masked: wg 0)
+    swg: jax.Array,  # f32 [M, W] per-touch gradients in sidx order
+    *,
+    learning_rate: float,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+):
+    """Sorted-touch entry: skips the sort for callers whose touches arrive
+    pre-sorted (e.g. item-sorted batches, where gradient rows are computed
+    directly in sorted order and no per-step reorder exists at all).
+
+    Touches with zero gradient are exact no-ops wherever they sort (they
+    only widen a block's visited span); rows >= R are clamped to the
+    sentinel and excluded from block spans.
+    """
+    R, W = table.shape
+    sidx, swg, b_of, c_of2, flags, L = _build_worklist(sidx, swg, R, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -289,7 +298,7 @@ def sorted_adagrad_update_pallas(
         interpret=interpret,
     )(
         b_of,
-        c_of2.astype(jnp.int32),
+        c_of2,
         flags,
         table,
         acc,
@@ -297,3 +306,113 @@ def sorted_adagrad_update_pallas(
         swg,  # [m_pad, W]; blocked as (CHUNK, W) rows at chunk offsets
     )
     return new_table, new_acc
+
+
+def _sums_kernel(
+    # scalar prefetch
+    block_of,
+    chunk_of,
+    flags,
+    # blocked inputs
+    zero_ref,  # VMEM [BLOCK_R, 2W] (aliased zeros; passthrough for
+    #            blocks the worklist never visits)
+    idx_ref,  # VMEM [CHUNK]
+    wg_ref,  # VMEM [CHUNK, W]
+    # output
+    out_ref,  # VMEM [BLOCK_R, 2W]
+    # scratch
+    sums,
+    *,
+    precision: jax.lax.Precision,
+):
+    del zero_ref
+    i = pl.program_id(0)
+    block_start = block_of[i] * BLOCK_R
+
+    @pl.when(flags[i, 0] == 1)
+    def _init():
+        sums[...] = jnp.zeros_like(sums)
+
+    local = idx_ref[:] - block_start
+    wg = wg_ref[...]
+    wgs = jnp.concatenate([wg, wg * wg], axis=1)
+    lo = jnp.min(local)
+    hi = jnp.max(jnp.where(local < BLOCK_R, local, -1))
+    t_lo = jnp.clip(lo // TILE_R, 0, BLOCK_R // TILE_R)
+    t_hi = jnp.clip(hi // TILE_R + 1, 0, BLOCK_R // TILE_R)
+
+    def tile_body(t, _):
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_R, CHUNK), 0) + t * TILE_R
+        )
+        oh = (rows == local[None, :]).astype(jnp.float32)
+        d = jnp.dot(
+            oh, wgs, preferred_element_type=jnp.float32, precision=precision
+        )
+        sums[pl.ds(t * TILE_R, TILE_R), :] += d
+        return 0
+
+    jax.lax.fori_loop(t_lo, t_hi, tile_body, 0)
+
+    @pl.when(flags[i, 1] == 1)
+    def _finalize():
+        out_ref[...] = sums[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows", "interpret", "precision")
+)
+def sorted_grad_sums_pallas(
+    sidx: jax.Array,  # int32 [M] NON-DECREASING touch rows
+    swg: jax.Array,  # f32 [M, W] per-touch gradients in sidx order
+    *,
+    n_rows: int,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+):
+    """Per-row gradient sums over SORTED touches: returns ``[n_rows, 2W]``
+    with ``[:, :W] = sum(wg)`` and ``[:, W:] = sum(wg^2)`` per row —
+    the update kernel's accumulation phase WITHOUT the adagrad apply.
+    Feeds the hybrid fast path's aggregated feature update
+    (`fast_warp._aggregated_feature_update`): per-entity sums computed
+    here on the MXU replace a [M]-row duplicate-heavy XLA scatter.
+    """
+    W = swg.shape[1]
+    R = n_rows
+    sidx, swg, b_of, c_of2, flags, L = _build_worklist(sidx, swg, R, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(
+                (BLOCK_R, 2 * W), lambda i, b, c, fl: (b[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (CHUNK,), lambda i, b, c, fl: (c[i],), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (CHUNK, W), lambda i, b, c, fl: (c[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLOCK_R, 2 * W), lambda i, b, c, fl: (b[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK_R, 2 * W), jnp.float32),
+        ],
+    )
+    zeros = jnp.zeros((R, 2 * W), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_sums_kernel, precision=precision),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, 2 * W), jnp.float32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(b_of, c_of2, flags, zeros, sidx, swg)

@@ -46,6 +46,11 @@ class TrainData(NamedTuple):
     # Item column of every training interaction: BPR's empirical negative
     # distribution (template:1123-1127).  None for other losses.
     train_items: Optional[jax.Array]
+    # TRANSPOSED feature structures (feature id -> (entity, weight) rows),
+    # staged only when the hybrid fast path's aggregated update engages
+    # (fast_warp._apply_aggregated_feature_update); None otherwise.
+    user_feats_T: object = None
+    item_feats_T: object = None
 
 
 def _unpack_batch(packed: jax.Array) -> Batch:

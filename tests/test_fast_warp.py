@@ -437,6 +437,9 @@ def test_hybrid_fast_matches_generic_statistically(planted):
     m.fit(planted, epochs=0, item_features=feats)
     assert m._staged_fast
     data = m._staged_train_data
+    # the aggregated (scatter-free) update must engage at this size
+    assert data.item_feats_T is not None
+    assert data.user_feats_T is None  # identity users
     hp, bs = m._staged_hp, m._staged_batch_size
     seeds = jnp.arange(5, dtype=jnp.uint32)
     init = m._state
@@ -485,3 +488,94 @@ def test_hybrid_fast_invalid_rows_are_noops(planted):
             np.asarray(getattr(after, name))
             == np.asarray(getattr(before, name))
         ).all(), name
+
+
+
+def test_transposed_feature_sums_exact():
+    """_transposed_feature_sums == the expanded per-touch sums, exactly
+    (it replaces `_feature_update`'s scatters on the hybrid fast path)."""
+    rng = np.random.RandomState(0)
+    n_items, n_feats, W = 50, 37, 8
+    feats = sp.random(
+        n_items, n_feats, density=0.15, random_state=1, format="csr",
+        dtype=np.float32,
+    )
+    feats.data = rng.rand(feats.nnz).astype(np.float32) + 0.5
+    G1 = rng.randn(n_items, W).astype(np.float32)
+    G2 = rng.randn(n_items, W).astype(np.float32)
+
+    from lightfm_tpu.model import LightFM as _L
+    feats_T = _L._pad_features(feats.T.tocsr())
+    S = np.asarray(
+        fw._transposed_feature_sums(
+            feats_T, jnp.asarray(np.concatenate([G1, G2], axis=1)),
+            block=16,
+        )
+    )
+    dense = feats.toarray()  # [n_items, n_feats]
+    want1 = dense.T @ G1
+    want2 = (dense * dense).T @ G2
+    np.testing.assert_allclose(S[:, :W], want1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(S[:, W:], want2, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_aggregated_matches_scatter_update(planted):
+    """Training with the aggregated transposed-walk update must land at
+    the same quality as the expanded-touch scatter formulation (same
+    seeds; the only semantic delta is the pool touches' accumulator
+    staleness, which is the batching class already validated)."""
+    feats = _tag_feats(8000)
+    m = LightFM(loss="warp", no_components=64, random_state=10)
+    m.fit(planted, epochs=0, item_features=feats)
+    data = m._staged_train_data
+    assert data.item_feats_T is not None
+    hp, bs = m._staged_hp, m._staged_batch_size
+    seeds = jnp.arange(5, dtype=jnp.uint32)
+    init = m._state
+    train_csr = planted.tocsr()
+    aucs = {}
+    for label, d in (
+        ("aggregated", data),
+        ("scatter", data._replace(item_feats_T=None, user_feats_T=None)),
+    ):
+        m._state = run_epochs(init, d, seeds, hp, bs, fast="einsum")
+        aucs[label] = float(auc_score(m, train_csr, item_features=feats).mean())
+    assert aucs["aggregated"] > 0.9, aucs
+    assert abs(aucs["aggregated"] - aucs["scatter"]) < 0.02, aucs
+
+
+def test_transposed_feats_tiered_exact():
+    """The thin/fat-tiered TransposedFeats walk (dense MXU fat tier) must
+    match the dense reference exactly at f32 and engage the fat tier."""
+    rng = np.random.RandomState(1)
+    n_items, n_feats, W = 60, 30, 8
+    dense_f = np.zeros((n_items, n_feats), np.float32)
+    # thin columns (1-2 entities) + two fat columns covering most entities
+    for f in range(n_feats - 2):
+        dense_f[rng.randint(0, n_items, 2), f] = 1.0
+    dense_f[: n_items - 5, n_feats - 2] = 1.0
+    dense_f[5:, n_feats - 1] = 1.0
+    csr = sp.csr_matrix(dense_f)
+
+    m = LightFM(loss="warp", fast_precision="highest")
+    fT = m._build_transposed(csr)
+    assert isinstance(fT, fw.TransposedFeats) and fT.fat_rows is not None
+    assert fT.fat_w.dtype == jnp.float32
+
+    G1 = rng.randn(n_items, W).astype(np.float32)
+    G2 = rng.randn(n_items, W).astype(np.float32)
+    S = np.asarray(
+        fw._transposed_feature_sums(
+            fT, jnp.asarray(np.concatenate([G1, G2], axis=1)), block=16
+        )
+    )
+    np.testing.assert_allclose(S[:, :W], dense_f.T @ G1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        S[:, W:], (dense_f * dense_f).T @ G2, rtol=1e-5, atol=1e-5
+    )
+
+    # binary weights + default precision share one bf16 fat matrix
+    m2 = LightFM(loss="warp")  # fast_precision="default"
+    fT2 = m2._build_transposed(csr)
+    assert fT2.fat_w.dtype == jnp.bfloat16
+    assert fT2.fat_w2 is fT2.fat_w
