@@ -43,11 +43,15 @@ is "first non-positive of bpr_tries rolled draws" (no scoring needed until
 the chosen candidate), and the update pass is identical.
 
 Logistic has no negative sampling, so it takes only the sorted-update
-half of the machinery (`logistic_sorted_step`).  Eligibility is static
-(hyperparameters + pytree types + backend); anything else — adadelta,
-lazy L2, explicit feature matrices, meshes, k-OS — stays on the generic
-`losses` path, which remains the
-reference implementation of record for loss semantics.
+half of the machinery (`logistic_sorted_step`).  Explicit feature
+matrices up to MAX_FAST_FEAT_NNZ padded nnz/row join the pairwise path
+(hybrid mode): representations become weighted feature sums and
+feature-table updates run scatter-free (`_aggregated_feature_update`).
+Eligibility is static (hyperparameters + pytree types + backend);
+anything else — adadelta, lazy L2, wide/chunked feature matrices,
+meshes with row-sharded tables, k-OS — stays on the generic `losses`
+path, which remains the reference implementation of record for loss
+semantics.
 """
 
 from __future__ import annotations
@@ -85,10 +89,11 @@ MIN_TABLE_ELEMS = 1 << 19
 # features carry <= ~6 nnz/row, StackExchange tags similar).  The pool
 # reformulation removes the generic path's dominant hybrid cost (the
 # K*B*nnz candidate-representation gathers of `losses._warp_negative_search`
-# become one P*nnz pool gather + rotations); updates expand to
-# per-(example, feature) touches and scatter-add (`_feature_update`).
-# Wider feature rows multiply the forward gather/update traffic linearly
-# and belong on the generic/chunked path.
+# become one P*nnz pool gather + rotations); feature-table updates run
+# scatter-free via `_aggregated_feature_update` when the transposed
+# structures are staged, else as expanded-touch scatters
+# (`_feature_update`).  Wider feature rows multiply the forward gather
+# traffic linearly and belong on the generic/chunked path.
 MAX_FAST_FEAT_NNZ = 16
 
 
