@@ -772,10 +772,11 @@ def main():
     # Warmup: compile the epoch executable (first TPU compile is slow).
     model.fit(train, epochs=epochs)
 
-    # Best of 3: remote-device round-trip jitter can dominate a single
-    # 0.2s measurement.
+    # Best of 5: remote-device round-trip jitter (tens of ms per dispatch
+    # over the tunnel) can dominate a single ~0.1s measurement — observed
+    # headline spread 3.6-5.3M ex/s at best-of-3.
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         model = LightFM(loss="warp", no_components=10, random_state=10)
         t0 = time.perf_counter()
         model.fit(train, epochs=epochs)
