@@ -484,7 +484,8 @@ class TransposedFeats(NamedTuple):
     fat_w2: jax.Array | None  # [M, n_entities] squared weights
 
 
-def _transposed_feature_sums(feats_T, G: jax.Array, block: int = 8192):
+def _transposed_feature_sums(feats_T, G: jax.Array, block: int = 8192,
+                             precision=jax.lax.Precision.HIGHEST):
     """Per-feature weighted sums of per-entity gradient rows.
 
     ``G`` is the ``[n_entities, 2W]`` stacked ``[G1 | G2]`` block of
@@ -501,9 +502,15 @@ def _transposed_feature_sums(feats_T, G: jax.Array, block: int = 8192):
     W = W2 // 2
 
     def fold(idx, w):
+        # ``precision`` comes from hp.fast_precision: HIGHEST keeps the
+        # hybrid update bit-comparable to the scatter formulation /
+        # generic path; DEFAULT takes the bf16 MXU passes like the rest
+        # of the fast path.
         emb = G[idx]  # [..., P, 2W]
-        s1 = jnp.einsum("...p,...pd->...d", w, emb[..., :W])
-        s2 = jnp.einsum("...p,...pd->...d", w * w, emb[..., W:])
+        s1 = jnp.einsum("...p,...pd->...d", w, emb[..., :W],
+                        precision=precision)
+        s2 = jnp.einsum("...p,...pd->...d", w * w, emb[..., W:],
+                        precision=precision)
         return jnp.concatenate([s1, s2], axis=-1)
 
     fat = None
@@ -562,24 +569,20 @@ def _transposed_feature_sums(feats_T, G: jax.Array, block: int = 8192):
         # Fat tier: S1 += W @ G1, S2 += W^2 @ G2 on the MXU.  bf16 weight
         # storage composes with a DEFAULT-precision pass (identical
         # truncation); f32 storage runs HIGHEST for exactness.
-        prec = (
-            jax.lax.Precision.DEFAULT
-            if fat.fat_w.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST
-        )
         s1 = jnp.dot(
             fat.fat_w, G[:, :W], preferred_element_type=jnp.float32,
-            precision=prec,
+            precision=precision,
         )
         s2 = jnp.dot(
             fat.fat_w2, G[:, W:], preferred_element_type=jnp.float32,
-            precision=prec,
+            precision=precision,
         )
         S = S.at[fat.fat_rows].add(jnp.concatenate([s1, s2], axis=1))
     return S
 
 
-def _aggregated_feature_update(table, acc, feats_T, G, lr: float):
+def _aggregated_feature_update(table, acc, feats_T, G, lr: float,
+                               precision=jax.lax.Precision.HIGHEST):
     """Scatter-free adagrad update through an explicit feature matrix.
 
     Exact reformulation of one expanded-touch `_feature_update` call:
@@ -593,7 +596,7 @@ def _aggregated_feature_update(table, acc, feats_T, G, lr: float):
     worklist kernel + transposed gathers + dense streams) total ~4 ms.
     """
     W = table.shape[1]
-    S = _transposed_feature_sums(feats_T, G)
+    S = _transposed_feature_sums(feats_T, G, precision=precision)
     lrl = lr * jax.lax.rsqrt(acc)
     table = table - lrl * S[:, :W]
     acc = acc + S[:, W:]
@@ -710,13 +713,15 @@ def _apply_pool_updates(
                 jnp.concatenate([-gi, gi * gi], axis=1)
             )
         item_table, item_acc = _aggregated_feature_update(
-            state.item_table, state.item_acc, item_feats_T, Gp, lr
+            state.item_table, state.item_acc, item_feats_T, Gp, lr,
+            precision=precision,
         )
         Gn = jnp.zeros((n_i, 2 * W), jnp.float32).at[pool_ids].add(
             jnp.concatenate([gp, gp2], axis=1)
         )
         item_table, item_acc = _aggregated_feature_update(
-            item_table, item_acc, item_feats_T, Gn, lr
+            item_table, item_acc, item_feats_T, Gn, lr,
+            precision=precision,
         )
     else:
         item_table, item_acc = _feature_update(
@@ -746,7 +751,8 @@ def _apply_pool_updates(
                     jnp.concatenate([gu, gu * gu], axis=1)
                 )
             user_table, user_acc = _aggregated_feature_update(
-                state.user_table, state.user_acc, user_feats_T, Gu, lr
+                state.user_table, state.user_acc, user_feats_T, Gu, lr,
+                precision=precision,
             )
         else:
             user_table, user_acc = _feature_update(

@@ -306,7 +306,7 @@ class LightFM:
             self._mirror_snaps[attr] = m.copy()
             self._drop_state_dependent_cache()  # representations changed
 
-    def _transposed_features(self, csr, padded, batch_size):
+    def _transposed_features(self, csr, padded, batch_size, fast_precision):
         """Transposed feature lists for the aggregated hybrid fast-path
         update, or None when it should not engage (identity features, or
         entity+feature counts so large that the dense per-step table
@@ -332,15 +332,21 @@ class LightFM:
         # tier is a few hundred MB built+uploaded from the CSR, and
         # refitting a fresh model on the same features — the benchmark /
         # hyperparameter-search pattern — must not pay it again.
-        key = (f"feats_T_{self.fast_precision}", id(csr), content_fingerprint(csr))
+        key = (f"feats_T_{fast_precision}", id(csr), content_fingerprint(csr))
         hit = _TRANSPOSE_MEMO.get(key)
         if hit is not None:
             ref, val = hit
             if ref() is csr:
                 return val
-        val = self._build_transposed(csr)
+        val = self._build_transposed(csr, fast_precision)
         try:
-            if len(_TRANSPOSE_MEMO) >= 8:  # bounded: drop the oldest
+            # Sweep dead entries FIRST (a GC'd matrix must not keep pinning
+            # hundreds of MB of device arrays until FIFO eviction), then
+            # bound what's left.
+            dead = [k for k, (r, _) in _TRANSPOSE_MEMO.items() if r() is None]
+            for k in dead:
+                _TRANSPOSE_MEMO.pop(k, None)
+            if len(_TRANSPOSE_MEMO) >= 4:  # bounded: drop the oldest
                 _TRANSPOSE_MEMO.pop(next(iter(_TRANSPOSE_MEMO)))
             _TRANSPOSE_MEMO[key] = (weakref.ref(csr), val)
         except TypeError:
@@ -349,7 +355,7 @@ class LightFM:
 
     _FAT_TIER_LIMIT_BYTES = 768 << 20  # dense fat-tier budget per matrix
 
-    def _build_transposed(self, csr):
+    def _build_transposed(self, csr, fast_precision):
         import scipy.sparse as _sp
 
         from lightfm_tpu.fast_warp import TransposedFeats
@@ -359,12 +365,18 @@ class LightFM:
         lengths = np.diff(csr_t.indptr)
         C = 8
         fat = np.flatnonzero(lengths > C)
-        itemsize = 2 if self.fast_precision == "default" else 4
-        if len(fat) and len(fat) * csr_t.shape[1] * itemsize > (
+        # Fat tier budget, stage 1 (before paying todense): reject when
+        # even the BEST case (one shared bf16 matrix) is over.  Stage 2
+        # below re-checks the ACTUAL bytes once dtype/sharing are known
+        # (f32 fallback + a distinct squared matrix cost up to 4x).
+        # Over budget -> None: the expanded-touch scatter path measured
+        # FASTER than the chunked transposed gather walk at production
+        # shape (doc/roadmap.md round-5 table), so the walk is not a
+        # useful fallback.
+        if len(fat) and len(fat) * csr_t.shape[1] * 2 > (
             self._FAT_TIER_LIMIT_BYTES
         ):
-            # Fat tier over budget: fall back to the chunked gather walk.
-            return pad_csr(csr_t, pad_multiple=8, width_cap=8, chunk_width=512)
+            return None
         if len(fat):
             keep = np.ones(csr_t.shape[0], np.float32)
             keep[fat] = 0.0
@@ -380,7 +392,7 @@ class LightFM:
             # only when both matrices round-trip exactly (the ubiquitous
             # binary-weight case, where sq is dense too).
             bf16_ok = (
-                self.fast_precision == "default"
+                fast_precision == "default"
                 and np.array_equal(
                     dense.astype(ml_dtypes.bfloat16).astype(np.float32),
                     dense,
@@ -390,11 +402,14 @@ class LightFM:
                 )
             )
             dt = jnp.bfloat16 if bf16_ok else jnp.float32
-            fat_w = jnp.asarray(dense, dtype=dt)
-            fat_w2 = (
-                fat_w if np.array_equal(sq, dense)
-                else jnp.asarray(sq, dtype=dt)
+            shared = np.array_equal(sq, dense)
+            actual = (1 if shared else 2) * dense.size * (
+                2 if bf16_ok else 4
             )
+            if actual > self._FAT_TIER_LIMIT_BYTES:
+                return None  # stage-2 budget check (see above)
+            fat_w = jnp.asarray(dense, dtype=dt)
+            fat_w2 = fat_w if shared else jnp.asarray(sq, dtype=dt)
             return TransposedFeats(
                 thin=thin,
                 fat_rows=jnp.asarray(fat.astype(np.int32)),
@@ -875,10 +890,12 @@ class LightFM:
             # batch-proportional budget.
             data = data._replace(
                 user_feats_T=self._transposed_features(
-                    user_features, data.user_feats, batch_size
+                    user_features, data.user_feats, batch_size,
+                    hp.fast_precision,
                 ),
                 item_feats_T=self._transposed_features(
-                    item_features, data.item_feats, batch_size
+                    item_features, data.item_feats, batch_size,
+                    hp.fast_precision,
                 ),
             )
 

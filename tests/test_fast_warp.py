@@ -558,7 +558,7 @@ def test_transposed_feats_tiered_exact():
     csr = sp.csr_matrix(dense_f)
 
     m = LightFM(loss="warp", fast_precision="highest")
-    fT = m._build_transposed(csr)
+    fT = m._build_transposed(csr, "highest")
     assert isinstance(fT, fw.TransposedFeats) and fT.fat_rows is not None
     assert fT.fat_w.dtype == jnp.float32
 
@@ -576,6 +576,6 @@ def test_transposed_feats_tiered_exact():
 
     # binary weights + default precision share one bf16 fat matrix
     m2 = LightFM(loss="warp")  # fast_precision="default"
-    fT2 = m2._build_transposed(csr)
+    fT2 = m2._build_transposed(csr, "default")
     assert fT2.fat_w.dtype == jnp.bfloat16
     assert fT2.fat_w2 is fT2.fat_w

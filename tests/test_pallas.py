@@ -322,3 +322,60 @@ def test_adagrad_update_pallas_multiblock():
     )
     assert np.allclose(np.asarray(t2), t_ref, atol=1e-4)
     assert np.allclose(np.asarray(a2), a_ref, atol=1e-4)
+
+
+def test_sorted_grad_sums_pallas_matches_numpy():
+    """Differential test of the sums-only worklist kernel (the hybrid fast
+    path's per-entity gradient aggregation) against numpy, in interpret
+    mode: duplicates accumulate, squared sums exact, untouched rows zero."""
+    from lightfm_tpu.ops.pallas_update import sorted_grad_sums_pallas
+
+    rng = np.random.RandomState(0)
+    R, W, M = 5000, 16, 700  # multi-block (BLOCK_R=2048), ragged chunk
+    sidx = np.sort(rng.randint(0, R, M)).astype(np.int32)
+    sidx[:50] = sidx[0]  # hot row
+    sidx = np.sort(sidx)
+    swg = rng.randn(M, W).astype(np.float32)
+    swg[::9] = 0.0  # masked touches are exact no-ops
+
+    S = np.asarray(
+        sorted_grad_sums_pallas(
+            jnp.asarray(sidx), jnp.asarray(swg), n_rows=R, interpret=True
+        )
+    )
+    want1 = np.zeros((R, W), np.float32)
+    want2 = np.zeros((R, W), np.float32)
+    np.add.at(want1, sidx, swg)
+    np.add.at(want2, sidx, swg * swg)
+    np.testing.assert_allclose(S[:, :W], want1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(S[:, W:], want2, rtol=1e-5, atol=1e-5)
+    # untouched rows are exactly zero (the zeros alias passes through)
+    untouched = np.setdiff1d(np.arange(R), sidx)
+    assert (S[untouched] == 0).all()
+
+
+def test_sorted_grad_sums_pallas_sentinel_and_empty():
+    """Sentinel rows (>= n_rows) are excluded; an all-sentinel input yields
+    exactly zero sums (the empty-worklist flush path)."""
+    from lightfm_tpu.ops.pallas_update import sorted_grad_sums_pallas
+
+    R, W, M = 600, 8, 64
+    sidx = np.full(M, 10**6, np.int32)
+    swg = np.ones((M, W), np.float32)
+    S = np.asarray(
+        sorted_grad_sums_pallas(
+            jnp.asarray(sidx), jnp.asarray(swg), n_rows=R, interpret=True
+        )
+    )
+    assert (S == 0).all()
+
+    sidx[:3] = [5, 5, 599]
+    sidx = np.sort(sidx)  # real rows sort before the sentinel
+    S = np.asarray(
+        sorted_grad_sums_pallas(
+            jnp.asarray(sidx), jnp.asarray(swg), n_rows=R, interpret=True
+        )
+    )
+    assert S[5, 0] == 2.0 and S[599, 0] == 1.0
+    assert S[5, W] == 2.0  # squared half
+    assert float(np.abs(S).sum()) == 2 * (2.0 + 1.0) * W
