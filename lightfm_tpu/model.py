@@ -353,7 +353,17 @@ class LightFM:
             pass
         return val
 
-    _FAT_TIER_LIMIT_BYTES = 768 << 20  # dense fat-tier budget per matrix
+    # Dense fat-tier budget (total across fat_w + fat_w2).  ~10% of a
+    # v5e's HBM: the tier is streamed once per step, so beyond this the
+    # dense matmuls stop being cheap relative to the batch work anyway.
+    # LIGHTFM_TPU_FAT_TIER_BYTES overrides.
+    @property
+    def _FAT_TIER_LIMIT_BYTES(self):
+        import os
+
+        return int(
+            os.environ.get("LIGHTFM_TPU_FAT_TIER_BYTES", 1536 << 20)
+        )
 
     def _build_transposed(self, csr, fast_precision):
         import scipy.sparse as _sp

@@ -579,3 +579,33 @@ def test_transposed_feats_tiered_exact():
     fT2 = m2._build_transposed(csr, "default")
     assert fT2.fat_w.dtype == jnp.bfloat16
     assert fT2.fat_w2 is fT2.fat_w
+
+
+def test_transposed_build_nonbinary_weights_within_budget(monkeypatch):
+    """Weights of 2.0 (duplicate tag entries) force a separate squared
+    matrix; the budget math must count both matrices at the ACTUAL dtype
+    and still admit the production-shaped case (regression: a 768MB gate
+    silently dropped the bench's 2x409MB bf16 pair back to the 2.6x-slower
+    scatter path)."""
+    rng = np.random.RandomState(0)
+    n_items, n_tags = 400, 16
+    rows = np.repeat(np.arange(n_items), 3)
+    cols = rng.randint(0, n_tags, rows.size)
+    tags = sp.coo_matrix(
+        (np.ones(rows.size, np.float32), (rows, cols)), shape=(n_items, n_tags)
+    ).tocsr()  # duplicate (row, col) pairs sum to 2.0
+    assert tags.data.max() >= 2.0  # duplicate entries summed
+    feats = sp.hstack(
+        [sp.identity(n_items, dtype=np.float32, format="csr"), tags],
+        format="csr",
+    )
+    m = LightFM(loss="warp")
+    t = m._build_transposed(feats, "default")
+    assert isinstance(t, fw.TransposedFeats) and t.fat_rows is not None
+    assert t.fat_w2 is not t.fat_w  # 2.0 weights: separate squared matrix
+    assert t.fat_w.dtype == jnp.bfloat16  # 2.0/4.0 are bf16-exact
+
+    # Over-budget matrices fall back to None (the scatter path), never to
+    # the slower chunked gather walk.
+    monkeypatch.setenv("LIGHTFM_TPU_FAT_TIER_BYTES", "64")
+    assert m._build_transposed(feats, "default") is None
